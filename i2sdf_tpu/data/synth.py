@@ -1,0 +1,193 @@
+"""Synthetic indoor-scene generator: analytic SDF ground truth.
+
+The reference ships no data; for tests, demos, and benchmarking we
+generate a tiny indoor scene (box room + sphere + thin pillar — the thin
+structure exercises the bubble loss) by sphere-tracing an analytic SDF.
+Outputs the exact scan layout ReconData expects
+(`/root/reference/DATA_CONVENTION.md` style): `image/*.png`,
+`depth/*.npy`, `normal/*.npy`, `light_mask/*.png`,
+`cameras_normalize.npz` with world_mat/scale_mat pairs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def scene_sdf(p: jnp.ndarray) -> jnp.ndarray:
+    """Analytic SDF of the demo room: (N, 3) -> (N,).
+
+    Room interior of half-extent 2 (solid outside), a unit-ish sphere,
+    and a thin vertical pillar (r=0.04) — a bubble-loss target.
+    """
+    b = jnp.asarray([2.0, 2.0, 2.0])
+    q = jnp.abs(p) - b
+    # eps inside the sqrt keeps grad finite at the walls (norm(0) has a
+    # NaN gradient) — the 1e-6 level error is far below pixel scale
+    outside = jnp.sqrt(jnp.sum(jnp.maximum(q, 0.0) ** 2, axis=-1) + 1e-12)
+    sdf_box = outside + jnp.minimum(jnp.max(q, axis=-1), 0.0)
+    room = -sdf_box  # inside the room: positive distance to walls
+
+    sphere = jnp.linalg.norm(p - jnp.asarray([0.6, -1.4, 0.3]), axis=-1) - 0.6
+
+    # thin pillar along y at (x,z) = (-1.0, -0.8)
+    dxz = p[..., [0, 2]] - jnp.asarray([-1.0, -0.8])
+    pillar = jnp.linalg.norm(dxz, axis=-1) - 0.04
+
+    return jnp.minimum(room, jnp.minimum(sphere, pillar))
+
+
+def scene_normal(p: jnp.ndarray) -> jnp.ndarray:
+    g = jax.vmap(jax.grad(lambda q: scene_sdf(q[None])[0]))(p)
+    return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
+
+
+def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
+    """Simple per-object albedo with a checker floor."""
+    sphere_d = jnp.linalg.norm(p - jnp.asarray([0.6, -1.4, 0.3]), axis=-1) - 0.6
+    dxz = p[..., [0, 2]] - jnp.asarray([-1.0, -0.8])
+    pillar_d = jnp.linalg.norm(dxz, axis=-1) - 0.04
+    checker = (jnp.floor(p[..., 0] * 2) + jnp.floor(p[..., 2] * 2)) % 2
+    wall = jnp.stack([0.7 + 0.15 * checker, 0.68 * jnp.ones_like(checker),
+                      0.62 * jnp.ones_like(checker)], axis=-1)
+    sphere_c = jnp.asarray([0.2, 0.4, 0.8])
+    pillar_c = jnp.asarray([0.9, 0.2, 0.2])
+    alb = jnp.where((sphere_d < 0.02)[..., None], sphere_c, wall)
+    alb = jnp.where((pillar_d < 0.02)[..., None], pillar_c, alb)
+    return alb
+
+
+_LIGHT_POS = jnp.asarray([0.0, 1.7, 0.0])
+
+
+def is_emitter(p: jnp.ndarray) -> jnp.ndarray:
+    """Ceiling patch acting as the light (for light_mask supervision)."""
+    near_ceiling = p[..., 1] > 1.95
+    patch = (jnp.abs(p[..., 0]) < 0.5) & (jnp.abs(p[..., 2]) < 0.5)
+    return (near_ceiling & patch).astype(jnp.float32)
+
+
+def sphere_trace(cam_loc, ray_dirs, n_steps: int = 128):
+    """Fixed-step sphere tracing: returns (depth along ray, hit mask)."""
+    def body(carry, _):
+        t, done = carry
+        p = cam_loc + t[:, None] * ray_dirs
+        d = scene_sdf(p)
+        hit = jnp.abs(d) < 1e-4
+        done = done | hit
+        t = jnp.where(done, t, t + jnp.clip(d, -0.5, 0.5) * 0.9)
+        return (t, done), None
+
+    t0 = jnp.full(cam_loc.shape[0] if cam_loc.ndim > 1 else ray_dirs.shape[0],
+                  0.05, jnp.float32)
+    (t, done), _ = jax.lax.scan(
+        body, (t0, jnp.zeros_like(t0, bool)), None, length=n_steps)
+    return t, done
+
+
+def shade(p, n, view_dir):
+    """Lambertian + ambient from a single point light at the ceiling."""
+    to_light = _LIGHT_POS - p
+    dist2 = jnp.sum(to_light**2, axis=-1, keepdims=True)
+    l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-9))
+    ndotl = jnp.clip(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+    alb = scene_albedo(p)
+    emit = is_emitter(p)[..., None]
+    color = alb * (0.25 + 2.5 * ndotl / jnp.maximum(dist2, 0.5))
+    color = jnp.where(emit > 0, jnp.ones_like(color), color)
+    return jnp.clip(color, 0.0, 1.0)
+
+
+def _look_at(eye, target, up=np.array([0.0, 1.0, 0.0])):
+    """OpenCV-convention c2w pose (z forward, y down)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    right = np.cross(fwd, up)
+    right = right / np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0] = right
+    pose[:3, 1] = down
+    pose[:3, 2] = fwd
+    pose[:3, 3] = eye
+    return pose
+
+
+def generate_synthetic_scene(
+    out_dir: str,
+    n_images: int = 6,
+    img_res: tuple[int, int] = (60, 80),
+    scan_id: int = 0,
+) -> str:
+    """Render + write a full scan directory; returns the scan path."""
+    import cv2
+
+    H, W = img_res
+    scan_dir = os.path.join(out_dir, f"scan{scan_id}")
+    for sub in ("image", "depth", "normal", "light_mask"):
+        os.makedirs(os.path.join(scan_dir, sub), exist_ok=True)
+
+    focal = 0.8 * W
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0], K[1, 1] = focal, focal
+    K[0, 2], K[1, 2] = W / 2.0, H / 2.0
+
+    jj, ii = np.meshgrid(np.arange(W), np.arange(H))
+    uv = np.stack([jj, ii], -1).reshape(-1, 2).astype(np.float32)
+
+    cam_npz = {}
+    for i in range(n_images):
+        ang = 2 * np.pi * i / n_images
+        eye = np.array([1.2 * np.cos(ang), 0.15 * np.sin(2 * ang),
+                        1.2 * np.sin(ang)])
+        target = np.array([0.25 * np.cos(ang + 2.2), -0.3,
+                           0.25 * np.sin(ang + 2.2)])
+        pose = _look_at(eye, target)
+
+        # rays (same math as utils.cameras but host-side for clarity)
+        x = (uv[:, 0] - K[0, 2]) / K[0, 0]
+        y = (uv[:, 1] - K[1, 2]) / K[1, 1]
+        dirs_cam = np.stack([x, y, np.ones_like(x)], -1)
+        dirs_world = dirs_cam @ pose[:3, :3].T
+        norm = np.linalg.norm(dirs_world, axis=-1, keepdims=True)
+        dirs_unit = jnp.asarray(dirs_world / norm, jnp.float32)
+        cam = jnp.broadcast_to(jnp.asarray(eye, jnp.float32), dirs_unit.shape)
+
+        t, hit = sphere_trace(cam, dirs_unit)
+        p = cam + t[:, None] * dirs_unit
+        n = scene_normal(p)
+        rgb = shade(p, n, -dirs_unit)
+        rgb = np.asarray(jnp.where(hit[:, None], rgb, 0.0))
+
+        # stored depth convention: the model predicts euclidean_t/||raw_dir||
+        # with raw camera dirs of z_cam=1, i.e. z-depth; store exactly that
+        z_depth = np.asarray(t) / norm[:, 0]
+        z_depth = np.where(np.asarray(hit), z_depth, 0.0).astype(np.float32)
+
+        n_world = np.asarray(n)
+        n_view = n_world @ pose[:3, :3]  # world -> view (R^T n)
+        n_view = np.where(np.asarray(hit)[:, None], n_view, 0.0)
+
+        lmask = np.asarray(is_emitter(p)) * np.asarray(hit)
+
+        cv2.imwrite(os.path.join(scan_dir, "image", f"{i:04d}.png"),
+                    (rgb.reshape(H, W, 3)[:, :, ::-1] * 255).astype(np.uint8))
+        np.save(os.path.join(scan_dir, "depth", f"{i:04d}.npy"),
+                z_depth.reshape(H, W))
+        np.save(os.path.join(scan_dir, "normal", f"{i:04d}.npy"),
+                n_view.reshape(H, W, 3).astype(np.float32))
+        cv2.imwrite(os.path.join(scan_dir, "light_mask", f"{i:04d}.png"),
+                    (lmask.reshape(H, W) * 255).astype(np.uint8))
+
+        # world_mat = K @ w2c ; scale_mat = I (scene already in [-2, 2])
+        w2c = np.linalg.inv(pose)
+        P = K @ w2c
+        cam_npz[f"world_mat_{i}"] = P.astype(np.float32)
+        cam_npz[f"scale_mat_{i}"] = np.eye(4, dtype=np.float32)
+
+    np.savez(os.path.join(scan_dir, "cameras_normalize.npz"), **cam_npz)
+    return scan_dir

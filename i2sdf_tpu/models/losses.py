@@ -1,0 +1,175 @@
+"""Training loss battery for I2SDF reconstruction.
+
+Capability parity with `/root/reference/model/network/__init__.py:289-406`
+(I2SDFLoss): L1 RGB, eikonal, normal-smoothness (step-gated), mask BCE,
+masked depth MSE, normal L1 / angular, bubble |sdf|, light-mask BCE.
+
+TPU-first differences:
+* boolean-mask indexing becomes masked means (fixed shapes);
+* weights arrive as a *dynamic* pytree of scalars so the bubble window's
+  weight toggling (`trainer/recon.py:228-232,266-269`) does not trigger
+  recompilation;
+* the reference's angular-loss dispatch bug (it calls the L1 loss at
+  `network/__init__.py:368-369`) is fixed here — angular loss is a real
+  arccos loss; set `angular_weight` to reproduce paper behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+
+from ..utils.jmath import safe_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    eikonal_weight: float = 0.1
+    smooth_weight: float = 0.0
+    mask_weight: float = 0.0
+    depth_weight: float = 0.1
+    normal_weight: float = 0.05
+    angular_weight: float = 0.0
+    bubble_weight: float = 0.0
+    light_mask_weight: float = 0.0
+    min_bubble_iter: int = 0
+    max_bubble_iter: int | None = None
+    smooth_iter: int | None = None
+
+    def __post_init__(self):
+        # bubbles conflict with smoothness: push smooth_iter past the
+        # bubble window (parity network/__init__.py:304-305)
+        if (self.bubble_weight > 0 and self.max_bubble_iter is not None
+                and (self.smooth_iter or 0) < self.max_bubble_iter):
+            object.__setattr__(self, "smooth_iter", self.max_bubble_iter)
+
+    @classmethod
+    def from_cfgnode(cls, conf) -> "LossConfig":
+        return cls(
+            eikonal_weight=conf.get("eikonal_weight", 0.1),
+            smooth_weight=conf.get("smooth_weight", 0.0),
+            mask_weight=conf.get("mask_weight", 0.0),
+            depth_weight=conf.get("depth_weight", 0.1),
+            normal_weight=conf.get("normal_weight", 0.05),
+            angular_weight=conf.get("angular_weight", 0.0),
+            bubble_weight=conf.get("bubble_weight", 0.0),
+            light_mask_weight=conf.get("light_mask_weight", 0.0),
+            min_bubble_iter=conf.get("min_bubble_iter", 0),
+            max_bubble_iter=conf.get("max_bubble_iter", None),
+            smooth_iter=conf.get("smooth_iter", None),
+        )
+
+    def dynamic_weights(self, step: int) -> dict:
+        """Host-side per-step weight schedule (bubble window semantics)."""
+        in_bubble = (
+            self.bubble_weight > 0
+            and self.max_bubble_iter is not None
+            and self.min_bubble_iter <= step < self.max_bubble_iter)
+        smooth_on = self.smooth_iter is None or step > self.smooth_iter
+        return {
+            "eikonal": jnp.float32(self.eikonal_weight),
+            "smooth": jnp.float32(
+                self.smooth_weight if smooth_on else 0.0),
+            "mask": jnp.float32(self.mask_weight),
+            "depth": jnp.float32(self.depth_weight),
+            "normal": jnp.float32(0.0 if in_bubble else self.normal_weight),
+            "angular": jnp.float32(0.0 if in_bubble else self.angular_weight),
+            "bubble": jnp.float32(self.bubble_weight if in_bubble else 0.0),
+            "light_mask": jnp.float32(self.light_mask_weight),
+        }
+
+
+def _masked_mean(values, mask):
+    # jnp.where (not multiply): masked-out slots may hold NaN from
+    # invalid GT entries, and NaN * 0 == NaN would leak
+    mask_b = mask.astype(bool)
+    kept = jnp.where(mask_b, values, 0.0)
+    return jnp.sum(kept) / jnp.maximum(jnp.sum(mask_b.astype(values.dtype)),
+                                       1.0)
+
+
+def bce(pred, target, clip: float = 1e-3):
+    pred = jnp.clip(pred, clip, 1.0 - clip)
+    return -jnp.mean(target * jnp.log(pred) + (1 - target) * jnp.log(1 - pred))
+
+
+def rgb_l1(pred, gt):
+    return jnp.mean(jnp.abs(pred - gt.reshape(-1, 3)))
+
+
+def eikonal(grad_theta):
+    return jnp.mean((safe_norm(grad_theta, axis=1) - 1.0) ** 2)
+
+
+def depth_mse(depth, depth_gt, depth_mask):
+    return _masked_mean(
+        (depth - depth_gt.reshape(-1)) ** 2, depth_mask.reshape(-1))
+
+
+def _sanitize_gt(normal_gt, normal_mask):
+    """Replace masked-out GT normals with a constant; invalid entries can
+    be NaN and would otherwise poison gradients (0 cotangent * NaN = NaN)."""
+    gt = normal_gt.reshape(-1, 3)
+    return jnp.where(normal_mask.reshape(-1, 1).astype(bool), gt,
+                     jnp.zeros_like(gt).at[:, 2].set(1.0))
+
+
+def normal_l1(normal, normal_gt, normal_mask):
+    gt = _sanitize_gt(normal_gt, normal_mask)
+    dot = jnp.sum(normal * gt, axis=-1)
+    return _masked_mean(jnp.abs(1.0 - dot), normal_mask.reshape(-1))
+
+
+def normal_angular(normal, normal_gt, normal_mask):
+    gt = _sanitize_gt(normal_gt, normal_mask)
+    dot = jnp.sum(normal * gt, axis=-1)
+    angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6)) / math.tau
+    return _masked_mean(jnp.clip(angle, max=0.5), normal_mask.reshape(-1))
+
+
+def compute_losses(outputs: dict, ground_truth: dict, weights: dict) -> dict:
+    """Weighted loss sum + per-term dict (10 entries, as the reference)."""
+    zero = jnp.float32(0.0)
+    terms = {
+        "rgb_loss": rgb_l1(outputs["rgb_values"], ground_truth["rgb"]),
+        "eikonal_loss": (eikonal(outputs["grad_theta"])
+                         if "grad_theta" in outputs else zero),
+        "smooth_loss": (jnp.mean(outputs["diff_norm"])
+                        if "diff_norm" in outputs else zero),
+        "mask_loss": (bce(outputs["weight_sum"], ground_truth["mask"])
+                      if "mask" in ground_truth else zero),
+        "depth_loss": (depth_mse(outputs["depth_values"],
+                                 ground_truth["depth"],
+                                 ground_truth["depth_mask"])
+                       if "depth" in ground_truth else zero),
+        "normal_loss": (normal_l1(outputs["normal_values"],
+                                  ground_truth["normal"],
+                                  ground_truth["normal_mask"])
+                        if "normal" in ground_truth
+                        and "normal_values" in outputs else zero),
+        "angular_loss": (normal_angular(outputs["normal_values"],
+                                        ground_truth["normal"],
+                                        ground_truth["normal_mask"])
+                         if "normal" in ground_truth
+                         and "normal_values" in outputs else zero),
+        "bubble_loss": (jnp.mean(jnp.abs(outputs["surface_sdf"]))
+                        if "surface_sdf" in outputs else zero),
+        "light_mask_loss": (bce(outputs["light_mask"].reshape(-1, 1),
+                                ground_truth["light_mask"].reshape(-1, 1))
+                            if "light_mask" in outputs
+                            and "light_mask" in ground_truth else zero),
+    }
+    terms["loss"] = (
+        terms["rgb_loss"]
+        + weights["eikonal"] * terms["eikonal_loss"]
+        + weights["smooth"] * terms["smooth_loss"]
+        + weights["mask"] * terms["mask_loss"]
+        + weights["depth"] * terms["depth_loss"]
+        + weights["normal"] * terms["normal_loss"]
+        + weights["angular"] * terms["angular_loss"]
+        + weights["bubble"] * terms["bubble_loss"]
+        + weights["light_mask"] * terms["light_mask_loss"]
+    )
+    return terms

@@ -1,0 +1,337 @@
+"""SDF + radiance MLPs as pure init/apply functions over parameter pytrees.
+
+Capability parity with `/root/reference/model/network/mlp.py:10-229`
+(ImplicitNetwork / RenderingNetwork): weight normalization, geometric
+sphere initialization, skip connections with /sqrt(2) scaling,
+Softplus(beta=100) activations, and bounding-sphere SDF clamping.
+
+TPU-first design notes:
+* parameters are stored (in, out) so the forward pass is `x @ W + b`
+  with x batched over rays x samples — the MXU-friendly layout;
+* SDF spatial gradients use `jax.grad` composed under `vmap` (replacing
+  torch double-backward autograd at `mlp.py:107-141`); higher-order
+  differentiation for the eikonal term is plain JAX composition;
+* the no-grad SDF evaluation path (ray-sampler inner loop, mesh grids)
+  can be served by the fused Pallas kernel in
+  `i2sdf_tpu.ops.pallas.fused_mlp` using these same parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .embedder import get_embedder
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# Weight-normalized linear layers
+# ---------------------------------------------------------------------------
+
+
+def linear_init(key, d_in: int, d_out: int, weight_norm: bool = True,
+                w: jnp.ndarray | None = None, b: jnp.ndarray | None = None) -> Params:
+    """Initialize a (weight-normalized) linear layer.
+
+    `w`/`b` override the default (Kaiming-uniform-like) init; weight-norm
+    splits w into direction `v` and per-output gain `g` so that the
+    initial effective weight equals `w` (torch `nn.utils.weight_norm`
+    semantics, reference `mlp.py:71-72`).
+    """
+    kw, kb = jax.random.split(key)
+    if w is None:
+        bound = 1.0 / math.sqrt(d_in)
+        w = jax.random.uniform(kw, (d_in, d_out), minval=-bound, maxval=bound)
+    if b is None:
+        bound = 1.0 / math.sqrt(d_in)
+        b = jax.random.uniform(kb, (d_out,), minval=-bound, maxval=bound)
+    w = w.astype(jnp.float32)
+    b = b.astype(jnp.float32)
+    if weight_norm:
+        g = jnp.linalg.norm(w, axis=0)  # per-output-unit norm
+        return {"v": w, "g": g, "b": b}
+    return {"w": w, "b": b}
+
+
+def linear_weight(p: Params) -> jnp.ndarray:
+    """Effective weight matrix (in, out) of a layer parameter dict."""
+    if "v" in p:
+        norm = jnp.linalg.norm(p["v"], axis=0, keepdims=True)
+        return p["v"] * (p["g"][None, :] / jnp.maximum(norm, 1e-12))
+    return p["w"]
+
+
+def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    return x @ linear_weight(p) + p["b"]
+
+
+def softplus_beta(x, beta: float = 100.0):
+    """Softplus with sharpness beta (torch nn.Softplus(beta=100) parity,
+    including the linear region above threshold beta*x > 20)."""
+    return jnp.where(beta * x > 20.0, x, jax.nn.softplus(beta * x) / beta)
+
+
+_OUTPUT_ACTIVATIONS: dict[str, Callable] = {
+    "sigmoid": jax.nn.sigmoid,
+    "relu": jax.nn.relu,
+    "softplus": jax.nn.softplus,
+    "none": lambda x: x,
+}
+
+
+# ---------------------------------------------------------------------------
+# ImplicitNetwork (SDF + feature MLP)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ImplicitNetConfig:
+    feature_vector_size: int
+    sdf_bounding_sphere: float
+    d_in: int = 3
+    d_out: int = 1
+    dims: Sequence[int] = (256,) * 8
+    geometric_init: bool = True
+    bias: float = 1.0
+    skip_in: Sequence[int] = ()
+    weight_norm: bool = True
+    embed_type: str | None = None
+    multires: int = 6
+    sphere_scale: float = 1.0
+    output_activation: str | None = None
+
+    def layer_dims(self) -> list[int]:
+        dims = [self.d_in] + list(self.dims) + [self.d_out + self.feature_vector_size]
+        if self.embed_type:
+            _, in_ch = get_embedder(self.embed_type, input_dims=self.d_in,
+                                    multires=self.multires)
+            dims[0] = in_ch
+        return dims
+
+    def embed_fn(self):
+        if self.embed_type:
+            fn, _ = get_embedder(self.embed_type, input_dims=self.d_in,
+                                 multires=self.multires)
+            return fn
+        return None
+
+
+def implicit_net_init(key, cfg: ImplicitNetConfig) -> Params:
+    """Geometric sphere initialization (reference `mlp.py:55-69`):
+
+    * last layer: W ~ N(sqrt(pi)/sqrt(d_l), 1e-4), bias = -bias (so the
+      initial SDF approximates ||x|| - bias, a sphere);
+    * first layer under an embedding: PE channels zeroed, xyz channels
+      ~ N(0, sqrt(2)/sqrt(out));
+    * skip layers under an embedding: the concatenated PE block zeroed.
+    """
+    dims = cfg.layer_dims()
+    n_layers = len(dims)
+    params: Params = {}
+    keys = jax.random.split(key, n_layers - 1)
+
+    for layer in range(n_layers - 1):
+        if layer + 1 in cfg.skip_in:
+            out_dim = dims[layer + 1] - dims[0]
+        else:
+            out_dim = dims[layer + 1]
+        # Every layer's input width is dims[layer]: a skip layer consumes
+        # [prev_out (dims[l]-dims[0]), embedded input (dims[0])] since the
+        # preceding layer's output was already narrowed by dims[0].
+        in_dim = dims[layer]
+
+        w = b = None
+        if cfg.geometric_init:
+            kw = keys[layer]
+            if layer == n_layers - 2:
+                w = (jax.random.normal(kw, (in_dim, out_dim)) * 1e-4
+                     + math.sqrt(math.pi) / math.sqrt(in_dim))
+                b = jnp.full((out_dim,), -cfg.bias)
+            elif cfg.embed_type and layer == 0:
+                w = jnp.zeros((in_dim, out_dim))
+                w = w.at[:3, :].set(
+                    jax.random.normal(kw, (3, out_dim))
+                    * (math.sqrt(2) / math.sqrt(out_dim)))
+                b = jnp.zeros((out_dim,))
+            elif cfg.embed_type and layer in cfg.skip_in:
+                w = jax.random.normal(kw, (in_dim, out_dim)) * (
+                    math.sqrt(2) / math.sqrt(out_dim))
+                w = w.at[-(dims[0] - 3):, :].set(0.0)
+                b = jnp.zeros((out_dim,))
+            else:
+                w = jax.random.normal(kw, (in_dim, out_dim)) * (
+                    math.sqrt(2) / math.sqrt(out_dim))
+                b = jnp.zeros((out_dim,))
+
+        params[f"lin{layer}"] = linear_init(
+            keys[layer], in_dim, out_dim, weight_norm=cfg.weight_norm, w=w, b=b)
+    return params
+
+
+def implicit_net_apply(params: Params, cfg: ImplicitNetConfig,
+                       x: jnp.ndarray) -> jnp.ndarray:
+    """Raw forward: (N, d_in) -> (N, d_out + feature_vector_size)."""
+    embed = cfg.embed_fn()
+    inp = embed(x) if embed is not None else x
+    h = inp
+    dims = cfg.layer_dims()
+    n_layers = len(dims)
+    inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    for layer in range(n_layers - 1):
+        if layer in cfg.skip_in:
+            h = jnp.concatenate([h, inp], axis=-1) * inv_sqrt2
+        h = linear_apply(params[f"lin{layer}"], h)
+        if layer < n_layers - 2:
+            h = softplus_beta(h, 100.0)
+    if cfg.output_activation is not None:
+        h = _OUTPUT_ACTIVATIONS[cfg.output_activation](h)
+    return h
+
+
+def clamp_sdf(cfg: ImplicitNetConfig, sdf: jnp.ndarray, x: jnp.ndarray):
+    """Bounding-sphere clamp so all rays eventually occlude
+    (reference `mlp.py:127-130`)."""
+    if cfg.sdf_bounding_sphere > 0.0:
+        sphere_sdf = cfg.sphere_scale * (
+            cfg.sdf_bounding_sphere
+            - jnp.linalg.norm(x, axis=-1, keepdims=True))
+        sdf = jnp.minimum(sdf, sphere_sdf)
+    return sdf
+
+
+def sdf_vals(params: Params, cfg: ImplicitNetConfig, x: jnp.ndarray):
+    """(N, 3) -> (N, 1) clamped SDF. No-grad hot path of the sampler."""
+    sdf = implicit_net_apply(params, cfg, x)[..., :1]
+    return clamp_sdf(cfg, sdf, x)
+
+
+def sdf_with_feature(params: Params, cfg: ImplicitNetConfig, x: jnp.ndarray):
+    out = implicit_net_apply(params, cfg, x)
+    sdf = clamp_sdf(cfg, out[..., :1], x)
+    return sdf, out[..., 1:]
+
+
+def sdf_gradient(params: Params, cfg: ImplicitNetConfig, x: jnp.ndarray):
+    """Spatial gradient of the clamped SDF at each point: (N, 3).
+
+    `vmap(grad)` replaces torch's create_graph double-backward
+    (`mlp.py:107-118`); it composes with outer `jax.grad` for the
+    eikonal/smoothness losses.
+    """
+    def f(pt):
+        return sdf_vals(params, cfg, pt[None, :])[0, 0]
+
+    return jax.vmap(jax.grad(f))(x)
+
+
+def sdf_outputs(params: Params, cfg: ImplicitNetConfig, x: jnp.ndarray,
+                returns_grad: bool = True):
+    """(sdf, feature, gradient-or-None) — parity with `mlp.py:123-143`.
+
+    With gradients: one forward + one vjp per point (vmapped), instead of
+    the reference's forward + retained double-backward graph.
+    """
+    if not returns_grad:
+        sdf, feat = sdf_with_feature(params, cfg, x)
+        return sdf, feat, None
+
+    def f(pt):
+        s, ft = sdf_with_feature(params, cfg, pt[None, :])
+        return s[0, 0], ft[0]
+
+    def one(pt):
+        (s, ft), pull = jax.vjp(f, pt)
+        (g,) = pull((jnp.ones(()), jnp.zeros_like(ft)))
+        return s, ft, g
+
+    sdf, feat, grads = jax.vmap(one)(x)
+    return sdf[:, None], feat, grads
+
+
+# ---------------------------------------------------------------------------
+# RenderingNetwork (radiance MLP)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderingNetConfig:
+    feature_vector_size: int
+    mode: str = "nerf"  # 'nerf' | 'idr'
+    d_in: int = 3
+    d_out: int = 3
+    dims: Sequence[int] = (256,) * 4
+    weight_norm: bool = True
+    embed_type: str | None = None
+    multires: int = 4
+    embed_point_multires: int | None = None
+    output_activation: str = "sigmoid"
+
+    def layer_dims(self) -> list[int]:
+        d0 = self.d_in + self.feature_vector_size
+        if self.embed_type:
+            _, in_ch = get_embedder(self.embed_type, input_dims=3,
+                                    multires=self.multires)
+            d0 += in_ch - 3
+        if self.mode == "idr" and self.embed_point_multires:
+            _, in_ch = get_embedder("positional", input_dims=3,
+                                    multires=self.embed_point_multires)
+            d0 += in_ch - 3
+        return [d0] + list(self.dims) + [self.d_out]
+
+    def view_embed_fn(self):
+        if self.embed_type:
+            fn, _ = get_embedder(self.embed_type, input_dims=3,
+                                 multires=self.multires)
+            return fn
+        return None
+
+    def point_embed_fn(self):
+        if self.mode == "idr" and self.embed_point_multires:
+            fn, _ = get_embedder("positional", input_dims=3,
+                                 multires=self.embed_point_multires)
+            return fn
+        return None
+
+
+def rendering_net_init(key, cfg: RenderingNetConfig) -> Params:
+    dims = cfg.layer_dims()
+    params: Params = {}
+    keys = jax.random.split(key, len(dims) - 1)
+    for layer in range(len(dims) - 1):
+        params[f"lin{layer}"] = linear_init(
+            keys[layer], dims[layer], dims[layer + 1],
+            weight_norm=cfg.weight_norm)
+    return params
+
+
+def rendering_net_apply(params: Params, cfg: RenderingNetConfig,
+                        points, normals, view_dirs, feature_vectors):
+    """Radiance: ReLU hidden layers, configurable output activation.
+
+    Input layouts (parity `mlp.py:208-217`):
+    * nerf: [PE(view), feature]
+    * idr:  [points (opt. PE), PE(view), normals, feature]
+    """
+    vfn = cfg.view_embed_fn()
+    if vfn is not None:
+        view_dirs = vfn(view_dirs)
+    if cfg.mode == "idr":
+        pfn = cfg.point_embed_fn()
+        if pfn is not None:
+            points = pfn(points)
+        h = jnp.concatenate([points, view_dirs, normals, feature_vectors], axis=-1)
+    else:
+        h = jnp.concatenate([view_dirs, feature_vectors], axis=-1)
+
+    n_layers = len(cfg.layer_dims())
+    for layer in range(n_layers - 1):
+        h = linear_apply(params[f"lin{layer}"], h)
+        if layer < n_layers - 2:
+            h = jax.nn.relu(h)
+    return _OUTPUT_ACTIVATIONS[cfg.output_activation](h)

@@ -1,0 +1,256 @@
+"""Error-bounded adaptive ray sampling (VolSDF Algorithm 1), TPU-native.
+
+Capability parity with `/root/reference/model/network/ray_sampler.py:15-251`
+(UniformSampler / ErrorBoundSampler). Design differences, deliberate and
+TPU-first:
+
+* **Static shapes.** The reference's data-dependent `while not_converge`
+  loop becomes a statically unrolled loop of exactly `max_total_iters`
+  rounds: rounds 0..max-2 upsample `N_samples_eval` new points from the
+  per-section opacity-error pdf and merge-sort them in; the final round
+  draws the `N_samples` rendering samples from the weights pdf. Early
+  global convergence is not short-circuited — converged rays keep the
+  per-ray `beta = beta0` behavior (`ray_sampler.py:121-122`) and simply
+  receive extra (harmless) refinement samples. The sample budget is the
+  reference's worst case, every step, which is what a fixed-shape XLA
+  program costs anyway.
+* **Merge without re-evaluation.** SDF values are computed only for new
+  samples; `jnp.sort` + `take_along_axis` on the argsort replaces the
+  reference's sort + gather (`ray_sampler.py:90-95,210-212`).
+* **Masked math.** d* (Theorem 1) and the beta bisection use multiplicative
+  masking — the same trick the reference applies for speed
+  (`ray_sampler.py:111-131`) — which is the natural TPU formulation.
+* **No host sync / no gradients.** Callers get `stop_gradient`-wrapped
+  z-values (the reference evaluates the SDF under `no_grad`, so z-values
+  are constants w.r.t. parameters there too).
+
+`sdf_fn` is any `(N, 3) -> (N,)` callable; in production it is the fused
+Pallas MLP kernel (`i2sdf_tpu.ops.pallas.fused_mlp`) or the XLA MLP.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.sampling import linear_z_vals, pdf_to_cdf, sample_cdf, stratify
+from ..utils.cameras import get_sphere_intersections
+from .density import laplace_density
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    scene_bounding_sphere: float = 3.0
+    near: float = 0.0
+    N_samples: int = 64
+    N_samples_eval: int = 128
+    N_samples_extra: int = 32
+    eps: float = 0.1
+    beta_iters: int = 10
+    max_total_iters: int = 5
+    inverse_sphere_bg: bool = False
+    N_samples_inverse_sphere: int = 32
+    add_tiny: float = 1e-6
+
+    @property
+    def far(self) -> float:
+        return 2.0 * self.scene_bounding_sphere
+
+    @property
+    def total_fg_samples(self) -> int:
+        """Final per-ray foreground sample count incl. near+far columns."""
+        return self.N_samples + self.N_samples_extra + 2
+
+
+def uniform_z_vals(cfg: SamplerConfig, key, ray_dirs, cam_loc, n: int,
+                   training: bool, take_sphere_intersection: bool = False):
+    """Uniform (optionally stratified) init — parity ray_sampler.py:22-43."""
+    R = ray_dirs.shape[0]
+    near = jnp.full((R, 1), cfg.near, dtype=jnp.float32)
+    if take_sphere_intersection:
+        inter, _ = get_sphere_intersections(cam_loc, ray_dirs,
+                                            r=cfg.scene_bounding_sphere)
+        far = inter[:, 1:]
+    else:
+        far = jnp.full((R, 1), cfg.far, dtype=jnp.float32)
+    z_vals = linear_z_vals(near, far, n)
+    if training:
+        z_vals = stratify(key, z_vals)
+    return z_vals
+
+
+def _get_error_bound(beta, sdf_on_z, z_vals, dists, d_star):
+    """Per-ray max opacity-error bound (parity ray_sampler.py:243-251).
+
+    beta: (R, 1) or scalar; sdf_on_z: (R, S); dists: (R, S-1); d_star: (R, S-1).
+    """
+    density = laplace_density(sdf_on_z, beta)
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(dists[:, :1]), dists * density[:, :-1]], axis=-1)
+    integral_estimation = jnp.cumsum(shifted, axis=-1)
+    error_per_section = jnp.exp(-d_star / beta) * dists**2 / (4 * beta**2)
+    error_integral = jnp.cumsum(error_per_section, axis=-1)
+    bound_opacity = (
+        jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0
+    ) * jnp.exp(-integral_estimation[:, :-1])
+    return jnp.max(bound_opacity, axis=-1)
+
+
+def _d_star(z_vals, sdf):
+    """Theorem-1 triangle bound on in-section distance to the surface
+    (parity ray_sampler.py:98-114, masked-multiply formulation)."""
+    d = sdf
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    a, b, c = dists, jnp.abs(d[:, :-1]), jnp.abs(d[:, 1:])
+    first_cond = a**2 + b**2 <= c**2
+    second_cond = a**2 + c**2 <= b**2
+    s = (a + b + c) / 2.0
+    area_before_sqrt = s * (s - a) * (s - b) * (s - c)
+    mask = (~first_cond) & (~second_cond) & (b + c - a > 0)
+    first_only = first_cond & (~second_cond)
+    heron = jnp.nan_to_num(2.0 * jnp.sqrt(jnp.maximum(area_before_sqrt, 0.0))
+                           / jnp.maximum(a, 1e-12))
+    d_star = first_only * b + second_cond * c + heron * mask
+    # zero out sections whose endpoints straddle the surface
+    d_star = (jnp.sign(d[:, 1:]) * jnp.sign(d[:, :-1]) == 1) * d_star
+    return d_star, dists
+
+
+def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
+                       beta0, training: bool):
+    """Adaptive sampling: returns (z_vals, z_vals_bg | None, z_samples_eik).
+
+    ray_dirs: (R, 3) unit directions; cam_loc: (R, 3); beta0: scalar
+    (current learned beta, already |.|+beta_min). `training` is static.
+    """
+    R = ray_dirs.shape[0]
+    keys = jax.random.split(key, cfg.max_total_iters + 4)
+    beta0 = jax.lax.stop_gradient(jnp.asarray(beta0, jnp.float32))
+
+    # --- uniform init ------------------------------------------------------
+    z_vals = uniform_z_vals(
+        cfg, keys[0], ray_dirs, cam_loc, cfg.N_samples_eval, training,
+        take_sphere_intersection=cfg.inverse_sphere_bg)
+
+    # --- Lemma-2 max-beta init (ray_sampler.py:74-77) ------------------------
+    dists = z_vals[:, 1:] - z_vals[:, :-1]
+    bound = (1.0 / (4.0 * math.log(cfg.eps + 1.0))) * jnp.sum(dists**2, -1)
+    beta = jnp.sqrt(bound)
+
+    samples = z_vals          # new samples to evaluate this round
+    sdf = None                # running SDF values aligned with z_vals
+    weights = None
+    final_samples = None
+
+    for it in range(cfg.max_total_iters):
+        # SDF for only-new samples, merged in sorted order
+        pts = cam_loc[:, None, :] + samples[..., None] * ray_dirs[:, None, :]
+        new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(samples.shape)
+        if sdf is None:
+            sdf = new_sdf
+            # z_vals already == samples (sorted by construction)
+        else:
+            merged = jnp.concatenate([z_vals, samples], axis=-1)
+            order = jnp.argsort(merged, axis=-1)
+            z_vals = jnp.take_along_axis(merged, order, axis=-1)
+            sdf = jnp.take_along_axis(
+                jnp.concatenate([sdf, new_sdf], axis=-1), order, axis=-1)
+
+        d_star, dists = _d_star(z_vals, sdf)
+
+        # beta line search: start at current beta, bisect toward beta0
+        curr_error = _get_error_bound(beta0, sdf, z_vals, dists, d_star)
+        converged = curr_error <= cfg.eps
+        beta = jnp.where(converged, beta0, beta)
+        beta_min_b = jnp.full((R,), beta0)
+        beta_max_b = beta
+        for _ in range(cfg.beta_iters):
+            beta_mid = 0.5 * (beta_min_b + beta_max_b)
+            mid_error = _get_error_bound(
+                beta_mid[:, None], sdf, z_vals, dists, d_star)
+            ok = mid_error <= cfg.eps
+            beta_max_b = jnp.where(ok, beta_mid, beta_max_b)
+            beta_min_b = jnp.where(ok, beta_min_b, beta_mid)
+        beta = beta_max_b
+
+        # current-beta compositing weights over the accumulated set
+        density = laplace_density(sdf, beta[:, None])
+        dists_inf = jnp.concatenate(
+            [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1)
+        free_energy = dists_inf * density
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(free_energy[:, :1]), free_energy[:, :-1]], axis=-1)
+        alpha = 1.0 - jnp.exp(-free_energy)
+        transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+        weights = alpha * transmittance
+
+        if it < cfg.max_total_iters - 1:
+            # upsample proportional to the opacity error bound
+            error_per_section = (
+                jnp.exp(-d_star / beta[:, None])
+                * dists**2 / (4 * beta[:, None] ** 2))
+            error_integral = jnp.cumsum(error_per_section, axis=-1)
+            bound_opacity = (
+                jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0
+            ) * transmittance[:, :-1]
+            pdf = bound_opacity + cfg.add_tiny
+            cdf = pdf_to_cdf(pdf)
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, cfg.N_samples_eval), (R, cfg.N_samples_eval))
+            samples = sample_cdf(z_vals, cdf, u)
+        else:
+            # final rendering samples from the weights pdf
+            pdf = weights[:, :-1] + 1e-5
+            cdf = pdf_to_cdf(pdf)
+            if training:
+                u = jax.random.uniform(keys[it + 1], (R, cfg.N_samples))
+            else:
+                u = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, cfg.N_samples), (R, cfg.N_samples))
+            final_samples = sample_cdf(z_vals, cdf, u)
+
+    # --- extras: near, far, and a subset of the accumulated set -------------
+    near = jnp.full((R, 1), cfg.near, dtype=jnp.float32)
+    if cfg.inverse_sphere_bg:
+        inter, _ = get_sphere_intersections(cam_loc, ray_dirs,
+                                            r=cfg.scene_bounding_sphere)
+        far = inter[:, 1:]
+    else:
+        far = jnp.full((R, 1), cfg.far, dtype=jnp.float32)
+
+    if cfg.N_samples_extra > 0:
+        if training:
+            perm = jax.random.permutation(keys[-3], z_vals.shape[1])
+            sampling_idx = perm[: cfg.N_samples_extra]
+        else:
+            sampling_idx = jnp.linspace(
+                0, z_vals.shape[1] - 1, cfg.N_samples_extra).astype(jnp.int32)
+        z_vals_extra = jnp.concatenate(
+            [near, far, z_vals[:, sampling_idx]], axis=-1)
+    else:
+        z_vals_extra = jnp.concatenate([near, far], axis=-1)
+
+    z_final = jnp.sort(
+        jnp.concatenate([final_samples, z_vals_extra], axis=-1), axis=-1)
+
+    # one random existing depth per ray -> eikonal near-surface points
+    idx = jax.random.randint(keys[-2], (R, 1), 0, z_final.shape[-1])
+    z_samples_eik = jnp.take_along_axis(z_final, idx, axis=-1)
+
+    z_vals_bg = None
+    if cfg.inverse_sphere_bg:
+        # inverse-sphere sampler: uniform in [0, 1] inverse depth, scaled
+        # by 1/R (parity ray_sampler.py:64-65,236-239)
+        t = jnp.linspace(0.0, 1.0, cfg.N_samples_inverse_sphere)
+        z_vals_bg = jnp.broadcast_to(t, (R, cfg.N_samples_inverse_sphere))
+        if training:
+            z_vals_bg = stratify(keys[-1], z_vals_bg)
+        z_vals_bg = z_vals_bg * (1.0 / cfg.scene_bounding_sphere)
+
+    sg = jax.lax.stop_gradient
+    return (sg(z_final),
+            None if z_vals_bg is None else sg(z_vals_bg),
+            sg(z_samples_eik))

@@ -1,0 +1,69 @@
+"""Sampling primitives: stratified bins and inverse-CDF (importance) draws.
+
+Static-shape, vectorized versions of the reference's sampling math
+(`/root/reference/model/network/ray_sampler.py:30-41,186-207`); all run
+inside `jit` with no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def stratify(key, z_vals: jnp.ndarray) -> jnp.ndarray:
+    """Jitter each sample uniformly within its midpoint-delimited bin
+    (parity: ray_sampler.py:33-41)."""
+    mids = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    upper = jnp.concatenate([mids, z_vals[..., -1:]], axis=-1)
+    lower = jnp.concatenate([z_vals[..., :1], mids], axis=-1)
+    t_rand = jax.random.uniform(key, z_vals.shape, dtype=z_vals.dtype)
+    return lower + (upper - lower) * t_rand
+
+
+def linear_z_vals(near: jnp.ndarray, far: jnp.ndarray, n: int) -> jnp.ndarray:
+    """near/far: (R, 1) -> (R, n) linearly spaced depths."""
+    t = jnp.linspace(0.0, 1.0, n, dtype=jnp.float32)
+    return near * (1.0 - t) + far * t
+
+
+def sample_cdf(bins: jnp.ndarray, cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """Inverse-transform sampling from a per-ray piecewise-linear CDF.
+
+    bins: (R, B) bin edges; cdf: (R, B) cumulative (starting at 0);
+    u: (R, N) in [0, 1]. Returns (R, N) samples.
+    Parity: ray_sampler.py:193-207 (incl. the denom < 1e-5 -> 1 guard).
+    """
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, cdf.shape[-1] - 1)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
+
+
+def pdf_to_cdf(pdf: jnp.ndarray) -> jnp.ndarray:
+    """Normalize a per-ray pdf over bins and prepend a zero: (R, B-1) -> (R, B)."""
+    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    return jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+
+
+def gumbel_topk_sample(key, log_weights: jnp.ndarray, k: int):
+    """Draw k indices WITHOUT replacement ~ weights via Gumbel-top-k.
+
+    TPU-native substitute for `torch.multinomial(replacement=False)` used
+    by the bubble sampler (`/root/reference/model/trainer/recon.py:168`):
+    no host sync, one fused top-k. `log_weights` may contain -inf for
+    masked-out entries. Returns (indices (k,), key-consumed).
+    """
+    g = jax.random.gumbel(key, log_weights.shape, dtype=log_weights.dtype)
+    _, idx = jax.lax.top_k(log_weights + g, k)
+    return idx

@@ -1,0 +1,166 @@
+"""Jitted training / eval step factories.
+
+The whole optimizer step — ray-batch gather, adaptive sampling, forward,
+loss, backward, Adam update, and (in the bubble window) point-cloud
+importance sampling + pdf scatter update — is ONE XLA program with no
+host round-trips. This replaces the reference's DataLoader + Lightning
+loop (`/root/reference/model/trainer/recon.py:209-287`).
+
+Sharding: `make_train_step(..., mesh=...)` shards the ray batch over the
+mesh's 'data' axis via NamedSharding constraints; gradients are reduced
+by XLA-inserted collectives over ICI (SURVEY.md §2c plan).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.recon import DeviceArrays, sample_batch
+from ..models import renderer
+from ..models.losses import compute_losses
+from ..utils.imaging import psnr as psnr_fn
+
+
+def make_train_step(model_cfg, tx: optax.GradientTransformation,
+                    batch_size: int, mesh=None, bubble: bool = False,
+                    bubble_batch_size: int | None = None,
+                    pdf_prune: float = 0.0, pdf_max: float | None = None,
+                    pdf_criterion: str = "DEPTH",
+                    donate: bool = True):
+    """Build the jitted step.
+
+    Signature of the returned fn (bubble=False):
+        step(state, data: DeviceArrays, key, weights) -> (state, metrics)
+    With bubble=True:
+        step(state, data, key, weights, pdf, sample_count)
+            -> (state, metrics, pdf, sample_count)
+    where `pdf`/`sample_count` are (P,) device arrays over the bubble
+    point cloud (parity: trainer/recon.py:142-170,242-252).
+    """
+    bubble_bs = bubble_batch_size or batch_size
+
+    def loss_and_metrics(params, data: DeviceArrays, key, weights):
+        k_batch, k_bubble, k_render = jax.random.split(key, 3)
+        indices, inputs, gt = sample_batch(data, k_batch, batch_size)
+
+        bubble_idx = None
+        if bubble:
+            # Gumbel-top-k importance sampling without replacement over the
+            # live pdf (TPU substitute for torch.multinomial).
+            log_pdf = jnp.where(weights["_pdf"] > 0,
+                                jnp.log(jnp.maximum(weights["_pdf"], 1e-20)),
+                                -jnp.inf)
+            g = jax.random.gumbel(k_bubble, log_pdf.shape)
+            _, bubble_idx = jax.lax.top_k(log_pdf + g, bubble_bs)
+            inputs["pointcloud"] = data.pointcloud[bubble_idx]
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("data"))
+            inputs = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, shard), inputs)
+
+        out = renderer.render_rays(params, model_cfg, inputs, k_render,
+                                   training=True)
+        terms = compute_losses(out, gt, weights)
+        metrics = dict(terms)
+        metrics["psnr"] = psnr_fn(out["rgb_values"],
+                                  gt["rgb"].reshape(-1, 3))
+        aux = {
+            "metrics": metrics,
+            "indices": indices,
+            "bubble_idx": bubble_idx,
+            "depth_values": out["depth_values"],
+            "rgb_values": out["rgb_values"],
+            "gt": gt,
+        }
+        return terms["loss"], aux
+
+    grad_fn = jax.value_and_grad(loss_and_metrics, has_aux=True)
+
+    def _update_pdf(pdf, data: DeviceArrays, values, flat_indices):
+        """Scatter per-pixel errors into the point-cloud pdf
+        (parity trainer/recon.py:142-153): clamp to pdf_max, prune below
+        pdf_prune, route through pointlinks (mode='drop' handles -1)."""
+        if pdf_max is not None:
+            values = jnp.clip(values, max=pdf_max)
+        values = jnp.where(values < pdf_prune, 0.0, values)
+        links = data.pointlinks[flat_indices]
+        return pdf.at[links].set(values, mode="drop")
+
+    def step(state, data: DeviceArrays, key, weights,
+             pdf=None, sample_count=None):
+        if bubble:
+            weights = dict(weights, _pdf=pdf)
+        (_, aux), grads = grad_fn(state.params, data, key, weights)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state._replace(
+            step=state.step + 1, params=params, opt_state=opt_state)
+        metrics = aux["metrics"]
+        if bubble:
+            crit = (jnp.abs(aux["depth_values"] - aux["gt"]["depth"])
+                    if pdf_criterion == "DEPTH" else
+                    jnp.mean(jnp.abs(jnp.clip(aux["rgb_values"], 0, 1)
+                                     - jnp.clip(aux["gt"]["rgb"], 0, 1)),
+                             axis=-1))
+            pdf = _update_pdf(pdf, data, jax.lax.stop_gradient(crit),
+                              aux["indices"])
+            sample_count = sample_count.at[aux["bubble_idx"]].add(1)
+            return new_state, metrics, pdf, sample_count
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if bubble and donate:
+        donate_argnums = (0, 4, 5)
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None):
+    """Full-image renderer: jitted per-chunk eval forward.
+
+    Replaces split_input/merge_output chunking
+    (`/root/reference/utils/__init__.py:35-91`); pixels shard over chips.
+    Returns fn(params, inputs_chunk) -> outputs dict.
+    """
+
+    @partial(jax.jit, static_argnames=("predict_only",))
+    def render_chunk(params, inputs, predict_only=False):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P(None, "data"))
+            inputs = dict(inputs, uv=jax.lax.with_sharding_constraint(
+                inputs["uv"], shard))
+        return renderer.render_rays(
+            params, model_cfg, inputs, jax.random.PRNGKey(0),
+            training=False, predict_only=predict_only)
+
+    def render_image(params, uv, intrinsics, pose, predict_only=False):
+        """uv: (HW, 2); returns dict of (HW, ...) arrays."""
+        n = uv.shape[0]
+        n_pad = (-n) % chunk_size
+        uv_p = jnp.pad(uv, ((0, n_pad), (0, 0)))
+        chunks = uv_p.reshape(-1, chunk_size, 2)
+        outs = []
+        for i in range(chunks.shape[0]):
+            inputs = {
+                "uv": chunks[i][None],  # (1, C, 2)
+                "intrinsics": intrinsics[None],
+                "pose": pose[None],
+            }
+            out = render_chunk(params, inputs, predict_only=predict_only)
+            outs.append(out)
+        merged = {
+            k: jnp.concatenate([o[k] for o in outs], axis=0)[:n]
+            for k in outs[0]
+        }
+        return merged
+
+    return render_image, render_chunk

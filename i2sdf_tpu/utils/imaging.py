@@ -1,0 +1,180 @@
+"""Image IO, color transforms, and simple metrics.
+
+Host-side IO uses OpenCV/imageio (as the reference does,
+`/root/reference/utils/rend_util.py:25-54`); EXR support is gated on the
+OpenCV build and `.npy` files are accepted everywhere an EXR is, so the
+pipeline runs on minimal images too. Device math (PSNR, sRGB) is JAX.
+"""
+
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+
+import cv2  # noqa: E402
+import imageio.v2 as imageio  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+IMG_EXTENSIONS = (".png", ".jpg", ".jpeg", ".JPG", ".PNG", ".exr", ".npy")
+
+
+def glob_imgs(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    out = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(IMG_EXTENSIONS)
+    ]
+    return sorted(out)
+
+
+def _read_any(path: str, flags=cv2.IMREAD_UNCHANGED) -> np.ndarray:
+    if path.endswith(".npy"):
+        return np.load(path)
+    img = cv2.imread(path, flags)
+    if img is None:
+        raise IOError(f"Failed to read image: {path}")
+    return img
+
+
+def load_rgb(path: str, is_hdr: bool = False) -> np.ndarray:
+    """Load an RGB image as float32 (H, W, 3) in [0,1] (LDR) or linear (HDR)."""
+    if path.endswith(".npy"):
+        img = np.load(path).astype(np.float32)
+    elif is_hdr:
+        img = _read_any(path).astype(np.float32)
+        if img.ndim == 3 and img.shape[2] >= 3:
+            img = img[:, :, :3][:, :, ::-1].copy()  # BGR -> RGB
+    else:
+        img = imageio.imread(path)
+        img = np.asarray(img, dtype=np.float32)
+        if img.dtype != np.float32 or img.max() > 1.5:
+            img = img / 255.0
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        img = img[:, :, :3]
+    return img.astype(np.float32)
+
+
+def load_mask(path: str) -> np.ndarray:
+    """Load a single-channel mask as float32 (H, W) in [0,1]."""
+    if path.endswith(".npy"):
+        img = np.load(path).astype(np.float32)
+    else:
+        img = imageio.imread(path)
+        img = np.asarray(img, dtype=np.float32)
+        if img.max() > 1.5:
+            img = img / 255.0
+    if img.ndim == 3:
+        img = img[:, :, 0]
+    return img.astype(np.float32)
+
+
+def load_depth(path: str) -> np.ndarray:
+    """Load a depth map as float32 (H, W) (EXR last channel or npy)."""
+    img = _read_any(path)
+    img = np.asarray(img, dtype=np.float32)
+    if img.ndim == 3:
+        img = img[:, :, -1]
+    return img
+
+
+def load_normal(path: str) -> np.ndarray:
+    """Load a normal map as float32 (H, W, 3), RGB order."""
+    if path.endswith(".npy"):
+        return np.load(path).astype(np.float32)
+    img = _read_any(path)
+    img = np.asarray(img, dtype=np.float32)
+    return img[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def write_exr_or_npy(path: str, data: np.ndarray) -> str:
+    """Write float data as EXR when OpenCV supports it, else as .npy.
+
+    Returns the path actually written.
+    """
+    data = np.asarray(data, dtype=np.float32)
+    if path.endswith(".exr"):
+        try:
+            towrite = data[:, :, ::-1] if data.ndim == 3 else data
+            if cv2.imwrite(path, towrite):
+                return path
+        except cv2.error:
+            pass
+        path = path[:-4] + ".npy"
+    np.save(path, data)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Color / metrics (JAX)
+# ---------------------------------------------------------------------------
+
+
+def linear_to_srgb(x):
+    """Parity with `/root/reference/utils/rend_util.py:9-10`."""
+    x = jnp.asarray(x)
+    return jnp.where(x <= 0.0031308, x * 12.92, 1.055 * jnp.abs(x) ** (1 / 2.4) - 0.055)
+
+
+def srgb_to_linear(x):
+    x = jnp.asarray(x)
+    return jnp.where(x <= 0.04045, x / 12.92, ((x + 0.055) / 1.055) ** 2.4)
+
+
+def psnr(img1, img2, normalize_rgb: bool = False):
+    """Peak signal-to-noise ratio for [0,1] images.
+
+    Parity with `/root/reference/utils/rend_util.py:13-22`.
+    """
+    img1 = jnp.asarray(img1)
+    img2 = jnp.asarray(img2)
+    if normalize_rgb:
+        img1 = (img1 + 1.0) / 2.0
+        img2 = (img2 + 1.0) / 2.0
+    mse = jnp.mean((img1 - img2) ** 2)
+    return -10.0 * jnp.log(mse) / jnp.log(10.0)
+
+
+def ssim(img1, img2, max_val: float = 1.0):
+    """Structural similarity (per-channel 11x11 Gaussian, standard constants).
+
+    Pure-JAX replacement for torchmetrics SSIM used at
+    `/root/reference/model/trainer/recon.py:369`. Inputs: (..., H, W, C).
+    """
+    img1 = jnp.asarray(img1, jnp.float32)
+    img2 = jnp.asarray(img2, jnp.float32)
+    c1 = (0.01 * max_val) ** 2
+    c2 = (0.03 * max_val) ** 2
+
+    # 11-tap Gaussian, sigma=1.5
+    coords = jnp.arange(11, dtype=jnp.float32) - 5.0
+    g = jnp.exp(-(coords**2) / (2.0 * 1.5**2))
+    g = g / g.sum()
+
+    def filt(x):
+        # separable conv over H and W; x: (..., H, W, C)
+        x = jnp.moveaxis(x, -1, 0)  # (C, ..., H, W)
+        shape = x.shape
+        x = x.reshape((-1, 1) + shape[-2:])
+        kh = g.reshape(1, 1, 11, 1)
+        kw = g.reshape(1, 1, 1, 11)
+        from jax import lax
+
+        x = lax.conv_general_dilated(x, kh, (1, 1), "VALID")
+        x = lax.conv_general_dilated(x, kw, (1, 1), "VALID")
+        x = x.reshape(shape[:-2] + x.shape[-2:])
+        return jnp.moveaxis(x, 0, -1)
+
+    mu1, mu2 = filt(img1), filt(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+    sigma1_sq = filt(img1 * img1) - mu1_sq
+    sigma2_sq = filt(img2 * img2) - mu2_sq
+    sigma12 = filt(img1 * img2) - mu1_mu2
+
+    num = (2 * mu1_mu2 + c1) * (2 * sigma12 + c2)
+    den = (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    return jnp.mean(num / den)

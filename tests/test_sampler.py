@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from functools import partial
+
+from i2sdf_tpu.models.sampler import SamplerConfig, error_bound_z_vals
+
+
+@partial(jax.jit, static_argnames=("cfg", "sdf_scale", "training"))
+def _run(cfg, key, dirs, cam, beta, training, sdf_scale=1.0):
+    return error_bound_z_vals(
+        cfg, lambda p: sphere_sdf(p) * sdf_scale, key, dirs, cam, beta,
+        training)
+
+
+CFG = SamplerConfig(
+    scene_bounding_sphere=3.0, near=0.0, N_samples=16, N_samples_eval=32,
+    N_samples_extra=8, eps=0.1, beta_iters=10, max_total_iters=3)
+
+
+def sphere_sdf(pts):
+    """Analytic unit sphere at origin."""
+    return jnp.linalg.norm(pts, axis=-1) - 1.0
+
+
+def _rays(n=8):
+    # cameras on a ring at radius 2.5 looking at origin
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    cam = np.stack([2.5 * np.cos(ang), 2.5 * np.sin(ang), np.zeros(n)], -1)
+    dirs = -cam / np.linalg.norm(cam, axis=-1, keepdims=True)
+    return jnp.asarray(dirs, jnp.float32), jnp.asarray(cam, jnp.float32)
+
+
+@pytest.mark.parametrize("training", [True, False])
+def test_shapes_sorted_in_range(training):
+    dirs, cam = _rays()
+    z, z_bg, z_eik = _run(CFG, jax.random.PRNGKey(0), dirs, cam, 0.1, training)
+    assert z.shape == (8, CFG.N_samples + CFG.N_samples_extra + 2)
+    assert z_bg is None
+    assert z_eik.shape == (8, 1)
+    zn = np.asarray(z)
+    assert np.all(np.diff(zn, axis=-1) >= -1e-6)
+    assert zn.min() >= CFG.near - 1e-6
+    assert zn.max() <= CFG.far + 1e-5
+
+
+def test_samples_concentrate_near_surface():
+    """With a small beta, samples should cluster near the sphere hit at
+    distance 1.5 from camera (camera at 2.5, surface radius 1)."""
+    dirs, cam = _rays()
+    z, _, _ = _run(CFG, jax.random.PRNGKey(0), dirs, cam, 0.01, False)
+    zn = np.asarray(z)
+    near_surface = np.mean((zn > 1.3) & (zn < 1.7))
+    uniform_frac = 0.4 / 6.0  # fraction a uniform sampler would place there
+    assert near_surface > 3 * uniform_frac
+
+
+def test_eval_deterministic():
+    dirs, cam = _rays()
+    z1, _, _ = _run(CFG, jax.random.PRNGKey(0), dirs, cam, 0.05, False)
+    z2, _, _ = _run(CFG, jax.random.PRNGKey(99), dirs, cam, 0.05, False)
+    np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-6)
+
+
+def test_training_stochastic():
+    dirs, cam = _rays()
+    z1, _, _ = _run(CFG, jax.random.PRNGKey(0), dirs, cam, 0.05, True)
+    z2, _, _ = _run(CFG, jax.random.PRNGKey(1), dirs, cam, 0.05, True)
+    assert np.abs(np.asarray(z1) - np.asarray(z2)).max() > 1e-4
+
+
+def test_inverse_sphere_bg_samples():
+    cfg = SamplerConfig(
+        scene_bounding_sphere=3.0, N_samples=16, N_samples_eval=32,
+        N_samples_extra=8, max_total_iters=2, inverse_sphere_bg=True,
+        N_samples_inverse_sphere=12)
+    dirs, cam = _rays()
+    z, z_bg, _ = _run(cfg, jax.random.PRNGKey(0), dirs, cam, 0.1, False)
+    assert z_bg.shape == (8, 12)
+    zb = np.asarray(z_bg)
+    assert zb.min() >= 0.0 and zb.max() <= 1.0 / 3.0 + 1e-6
+    # far column equals the sphere far intersection (cam at 2.5, R=3)
+    zn = np.asarray(z)
+    far_expected = 2.5 + 3.0  # chord length along the center ray
+    np.testing.assert_allclose(zn[:, -1], far_expected, atol=1e-4)
+
+
+def test_no_gradient_through_sampler():
+    dirs, cam = _rays(4)
+
+    def f(scale):
+        z, _, _ = error_bound_z_vals(
+            CFG, lambda p: sphere_sdf(p) * scale, jax.random.PRNGKey(0),
+            dirs, cam, 0.05, False)
+        return jnp.sum(z)
+
+    g = jax.jit(jax.grad(f))(jnp.float32(1.0))
+    assert float(g) == 0.0
+
+
+def test_jit_compiles():
+    dirs, cam = _rays(4)
+    fn = jax.jit(lambda k, d, c, b: error_bound_z_vals(
+        CFG, sphere_sdf, k, d, c, b, True)[0])
+    z = fn(jax.random.PRNGKey(0), dirs, cam, jnp.float32(0.1))
+    assert z.shape == (4, 26)

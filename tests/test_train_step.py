@@ -1,0 +1,140 @@
+"""End-to-end: synthetic scene -> dataset -> jitted train step -> loss drops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2sdf_tpu.config import CfgNode
+from i2sdf_tpu.data import ReconData, generate_synthetic_scene
+from i2sdf_tpu.data.recon import sample_batch
+from i2sdf_tpu.models import renderer
+from i2sdf_tpu.models.losses import LossConfig
+from i2sdf_tpu.train import create_train_state, make_train_step
+
+TINY_MODEL = {
+    "feature_vector_size": 32,
+    "scene_bounding_sphere": 4.0,
+    "implicit_network": {
+        "d_in": 3, "d_out": 1, "dims": [32, 32, 32, 32],
+        "geometric_init": True, "bias": 0.6, "skip_in": [2],
+        "weight_norm": True, "embed_type": "positional", "multires": 4,
+    },
+    "rendering_network": {
+        "mode": "nerf", "d_in": 3, "d_out": 3, "dims": [32, 32],
+        "weight_norm": True, "embed_type": "positional", "multires": 2,
+    },
+    "density": {"params_init": {"beta": 0.1}, "beta_min": 1e-4},
+    "ray_sampler": {
+        "near": 0.0, "N_samples": 12, "N_samples_eval": 24,
+        "N_samples_extra": 6, "eps": 0.1, "beta_iters": 4,
+        "max_total_iters": 2,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    generate_synthetic_scene(str(root / "demo"), n_images=4, img_res=(24, 32))
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def dataset(scene):
+    return ReconData("demo", scan_id=0, data_root=scene, use_depth=True,
+                     use_normal=True, use_bubble=True, use_lightmask=True,
+                     pdf_prune=0.01, pdf_max=0.2)
+
+
+def test_dataset_loads(dataset):
+    assert dataset.n_images == 4
+    assert dataset.total_pixels == 24 * 32
+    assert dataset.rgb_images.shape == (4, 768, 3)
+    assert dataset.depth_images.shape == (4, 768)
+    assert dataset.normal_images.shape == (4, 768, 3)
+    # normals are unit where valid
+    m = dataset.normal_masks[0]
+    norms = np.linalg.norm(dataset.normal_images[0][m], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # bubble links are consistent
+    assert dataset.pointcloud.shape[0] == dataset.pixlinks.shape[0]
+    valid = dataset.pointlinks >= 0
+    assert valid.sum() == dataset.pointcloud.shape[0]
+    # depth-unprojected points lie inside the room (|p| <= ~2*sqrt(3))
+    assert np.abs(dataset.pointcloud).max() < 4.0
+
+
+def test_pointcloud_on_surface(dataset):
+    """Unprojected depth points must lie on the analytic scene surface."""
+    from i2sdf_tpu.data.synth import scene_sdf
+
+    pts = jnp.asarray(dataset.pointcloud[::17])
+    sdf = np.asarray(scene_sdf(pts))
+    assert np.abs(sdf).max() < 0.05
+
+
+def test_sample_batch_shapes(dataset):
+    data = dataset.to_device()
+    idx, inputs, gt = jax.jit(
+        lambda k: sample_batch(data, k, 32))(jax.random.PRNGKey(0))
+    assert inputs["uv"].shape == (32, 1, 2)
+    assert inputs["pose"].shape == (32, 4, 4)
+    assert gt["rgb"].shape == (32, 3)
+    assert gt["depth"].shape == (32,)
+    assert gt["normal"].shape == (32, 3)
+    # indices map back to the right pixels
+    i = np.asarray(idx)
+    img, pidx = i // 768, i % 768
+    np.testing.assert_allclose(np.asarray(gt["rgb"]),
+                               dataset.rgb_images[img, pidx], atol=1e-6)
+
+
+def test_train_step_descends(dataset):
+    node = CfgNode(TINY_MODEL)
+    node.use_normal = True
+    cfg = renderer.I2SDFConfig.from_cfgnode(node)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    state, tx = create_train_state(params, learning_rate=5e-4,
+                                   decay_steps=1000)
+    loss_cfg = LossConfig(eikonal_weight=0.1, depth_weight=0.1,
+                          normal_weight=0.05)
+    step = make_train_step(cfg, tx, batch_size=64)
+    data = dataset.to_device()
+    w = loss_cfg.dynamic_weights(0)
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, data, k, w)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
+    assert int(state.step) == 30
+
+
+def test_bubble_step_updates_pdf(dataset):
+    node = CfgNode(TINY_MODEL)
+    node.use_normal = False
+    cfg = renderer.I2SDFConfig.from_cfgnode(node)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    state, tx = create_train_state(params, learning_rate=5e-4,
+                                   decay_steps=1000)
+    loss_cfg = LossConfig(eikonal_weight=0.1, depth_weight=0.1,
+                          bubble_weight=0.5, min_bubble_iter=0,
+                          max_bubble_iter=100)
+    step = make_train_step(cfg, tx, batch_size=32, bubble=True,
+                           bubble_batch_size=16, pdf_prune=0.001,
+                           pdf_max=0.2)
+    data = dataset.to_device()
+    P = dataset.pointcloud.shape[0]
+    pdf = jnp.ones((P,)) * 0.1
+    count = jnp.zeros((P,), jnp.int32)
+    w = loss_cfg.dynamic_weights(10)
+    state, metrics, pdf, count = step(state, data, jax.random.PRNGKey(2),
+                                      w, pdf, count)
+    assert float(metrics["bubble_loss"]) > 0
+    assert int(count.sum()) == 16
+    assert pdf.shape == (P,)
+    assert bool(jnp.all(jnp.isfinite(pdf)))
