@@ -77,17 +77,19 @@ def main():
 
     key = jax.random.PRNGKey(1)
 
-    # warmup / compile
+    # warmup / compile (value fetch, not block_until_ready: the axon
+    # backend defers execution past block_until_ready, only a host
+    # transfer forces the chain)
     key, k = jax.random.split(key)
     state, metrics = step(state, data, k, w)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     t0 = time.perf_counter()
     for _ in range(n_steps):
         key, k = jax.random.split(key)
         state, metrics = step(state, data, k, w)
-    jax.block_until_ready(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))  # forces the whole chain
     dt = time.perf_counter() - t0
 
     rays_per_sec = batch_size * n_steps / dt
