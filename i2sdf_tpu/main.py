@@ -1,0 +1,148 @@
+"""CLI driver: train or run one of the three test modes.
+
+Capability parity with `/root/reference/main_recon.py:14-123`: the same
+flag surface (conf / exps_folder / expname / scan_id / test / test_mode
+render|mesh|interpolate / version / inter_id / indices / n_frames /
+frame_rate / full_res / is_val / val_mesh / score / far_clip / ckpt /
+resolution / seed), versioned experiment directories
+(`<exps_folder>/<expname>_<scan>/version_N/`), config snapshotting, and
+checkpoint loading for the test modes. Device selection is
+`jax.devices()` (the reference's GPUtil auto-pick is CUDA-specific).
+
+Usage:
+    python -m i2sdf_tpu.main --conf configs/synthetic.yml --scan_id 1
+    python -m i2sdf_tpu.main --conf ... --test --test_mode render
+    python -m i2sdf_tpu.main --conf ... --test --test_mode mesh --score
+    python -m i2sdf_tpu.main --conf ... --test --test_mode interpolate \
+        --inter_id 3 14
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="i2sdf_tpu reconstruction")
+    p.add_argument("--conf", required=True, help="config YAML path")
+    p.add_argument("--exps_folder", default="exps")
+    p.add_argument("--expname", default=None)
+    p.add_argument("--scan_id", type=int, default=None)
+    p.add_argument("--data_root", default="data")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--test_mode", default="render",
+                   choices=["render", "mesh", "interpolate"])
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--inter_id", type=int, nargs=2, default=[0, 1])
+    p.add_argument("--indices", type=int, nargs="*", default=None)
+    p.add_argument("--n_frames", type=int, default=60)
+    p.add_argument("--frame_rate", type=int, default=24)
+    p.add_argument("--full_res", action="store_true")
+    p.add_argument("--is_val", action="store_true")
+    p.add_argument("--val_mesh", action="store_true")
+    p.add_argument("--score", action="store_true")
+    p.add_argument("--far_clip", type=float, default=5.0)
+    p.add_argument("--ckpt", default="last")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--no_fused", action="store_true",
+                   help="disable the fused Pallas sampler MLP")
+    return p
+
+
+def resolve_exp_dir(args, conf) -> str:
+    expname = args.expname or conf.train.get("expname", "run")
+    scan_id = (args.scan_id if args.scan_id is not None
+               else conf.dataset.get("scan_id", 0))
+    conf.dataset.scan_id = scan_id
+    base = os.path.join(args.exps_folder, f"{expname}_{scan_id}")
+    version = args.version
+    if version is None:
+        m = re.search(r"version_(\d+)", args.conf)
+        if m:
+            version = int(m.group(1))
+    if version is None:
+        existing = []
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                m = re.fullmatch(r"version_(\d+)", d)
+                if m:
+                    existing.append(int(m.group(1)))
+        if args.test or args.resume:
+            version = max(existing) if existing else 0
+        else:
+            version = max(existing) + 1 if existing else 0
+    return os.path.join(base, f"version_{version}")
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+
+    from .config import load_cfg
+    from .models import renderer
+    from .train.checkpoint import CheckpointManager
+    from .train.state import create_train_state
+    from .train.trainer import ReconstructionTrainer
+
+    np.random.seed(args.seed)
+
+    conf = load_cfg(args.conf)
+    exp_dir = resolve_exp_dir(args, conf)
+    os.makedirs(exp_dir, exist_ok=True)
+    print(f"[INFO] experiment dir: {exp_dir}")
+    print(f"[INFO] devices: {jax.devices()}")
+    fused = False if args.no_fused else None
+
+    if not args.test:
+        trainer = ReconstructionTrainer(
+            conf, exp_dir, data_root=args.data_root, is_val=args.is_val,
+            val_mesh=args.val_mesh, fused_sampler=fused)
+        trainer.fit(max_steps=args.max_steps, resume=args.resume)
+        return 0
+
+    # ---- test modes: load params from the checkpoint ----------------------
+    model_conf = conf.model
+    model_conf.use_normal = False
+    model_cfg = renderer.I2SDFConfig.from_cfgnode(model_conf)
+    params = renderer.init(jax.random.PRNGKey(args.seed), model_cfg)
+    state, _ = create_train_state(params)
+    ckpt = CheckpointManager(os.path.join(exp_dir, "checkpoints", "orbax"))
+    step = None if args.ckpt in ("last", "latest") else int(args.ckpt)
+    state, _ = ckpt.restore(state, step=step)
+    params = state.params
+    print(f"[INFO] restored checkpoint @{int(state.step)}")
+
+    if args.test_mode == "render":
+        from .eval.render import run_render_eval
+
+        run_render_eval(params, model_cfg, conf, exp_dir,
+                        data_root=args.data_root, indices=args.indices,
+                        is_val=args.is_val, full_res=args.full_res,
+                        fused=fused)
+    elif args.test_mode == "mesh":
+        from .eval.mesh import run_mesh_eval
+
+        run_mesh_eval(params, model_cfg, conf, exp_dir,
+                      data_root=args.data_root, resolution=args.resolution,
+                      score=args.score, far_clip=args.far_clip, fused=fused)
+    elif args.test_mode == "interpolate":
+        from .eval.interpolate import run_interpolation
+
+        run_interpolation(params, model_cfg, conf, exp_dir,
+                          id0=args.inter_id[0], id1=args.inter_id[1],
+                          n_frames=args.n_frames,
+                          frame_rate=args.frame_rate,
+                          data_root=args.data_root, fused=fused)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -199,13 +199,14 @@ def depth2pts_outside(ray_o, ray_d, depth, bounding_sphere: float):
 
 def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
                 training: bool, predict_only: bool = False,
-                sdf_fn_nograd=None) -> dict:
+                sdf_fn_nograd=None, fused_sampler: bool = False) -> dict:
     """Render a batch of rays; returns the reference's output dict.
 
     inputs: {"uv": (B, N, 2), "intrinsics": (B, 4, 4), "pose": (B, 4, 4)
     or (B, 7), optional "pointcloud": (P, 3)}.
-    `sdf_fn_nograd` optionally overrides the sampler's SDF evaluator
-    (e.g. the fused Pallas kernel); defaults to the XLA MLP.
+    `sdf_fn_nograd` optionally overrides the sampler's SDF evaluator;
+    `fused_sampler=True` (static) uses the fused Pallas MLP kernel for
+    the sampler's no-grad evaluations (TPU hot path, ~15x XLA).
     """
     k_sampler, k_eik, k_jitter, k_cam = jax.random.split(key, 4)
 
@@ -222,10 +223,18 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
     beta = effective_beta(params["beta"], cfg.beta_min)
 
     if sdf_fn_nograd is None:
-        def sdf_fn_nograd(pts):
-            return mlp.sdf_vals(
-                jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
-                pts)[:, 0]
+        if fused_sampler:
+            from ..ops.pallas.fused_mlp import fused_sdf_mlp
+
+            def sdf_fn_nograd(pts):
+                return fused_sdf_mlp(
+                    jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
+                    pts)
+        else:
+            def sdf_fn_nograd(pts):
+                return mlp.sdf_vals(
+                    jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
+                    pts)[:, 0]
 
     z_all, z_vals_bg, z_samples_eik = error_bound_z_vals(
         cfg.sampler, sdf_fn_nograd, k_sampler, ray_dirs, cam_loc, beta,

@@ -36,7 +36,8 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..ops.sampling import linear_z_vals, pdf_to_cdf, sample_cdf, stratify
+from ..ops.sampling import (linear_z_vals, pdf_to_cdf, prefix_sum,
+                            sample_cdf, stratify)
 from ..utils.cameras import get_sphere_intersections
 from .density import laplace_density
 
@@ -90,9 +91,9 @@ def _get_error_bound(beta, sdf_on_z, z_vals, dists, d_star):
     density = laplace_density(sdf_on_z, beta)
     shifted = jnp.concatenate(
         [jnp.zeros_like(dists[:, :1]), dists * density[:, :-1]], axis=-1)
-    integral_estimation = jnp.cumsum(shifted, axis=-1)
+    integral_estimation = prefix_sum(shifted)
     error_per_section = jnp.exp(-d_star / beta) * dists**2 / (4 * beta**2)
-    error_integral = jnp.cumsum(error_per_section, axis=-1)
+    error_integral = prefix_sum(error_per_section)
     bound_opacity = (
         jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0
     ) * jnp.exp(-integral_estimation[:, :-1])
@@ -184,7 +185,7 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
         shifted = jnp.concatenate(
             [jnp.zeros_like(free_energy[:, :1]), free_energy[:, :-1]], axis=-1)
         alpha = 1.0 - jnp.exp(-free_energy)
-        transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+        transmittance = jnp.exp(-prefix_sum(shifted))
         weights = alpha * transmittance
 
         if it < cfg.max_total_iters - 1:
@@ -192,7 +193,7 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
             error_per_section = (
                 jnp.exp(-d_star / beta[:, None])
                 * dists**2 / (4 * beta[:, None] ** 2))
-            error_integral = jnp.cumsum(error_per_section, axis=-1)
+            error_integral = prefix_sum(error_per_section)
             bound_opacity = (
                 jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0
             ) * transmittance[:, :-1]

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .sampling import prefix_sum
+
 
 def render_weights(z_vals: jnp.ndarray, z_max: jnp.ndarray, density: jnp.ndarray):
     """VolSDF foreground compositing weights.
@@ -26,7 +28,7 @@ def render_weights(z_vals: jnp.ndarray, z_max: jnp.ndarray, density: jnp.ndarray
     shifted = jnp.concatenate(
         [jnp.zeros_like(free_energy[:, :1]), free_energy], axis=-1)
     alpha = 1.0 - jnp.exp(-free_energy)
-    transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    transmittance = jnp.exp(-prefix_sum(shifted))
     fg_transmittance = transmittance[:, :-1]
     weights = alpha * fg_transmittance
     bg_transmittance = transmittance[:, -1]
@@ -46,5 +48,5 @@ def render_weights_bg(z_vals_bg: jnp.ndarray, density: jnp.ndarray):
     shifted = jnp.concatenate(
         [jnp.zeros_like(free_energy[:, :1]), free_energy[:, :-1]], axis=-1)
     alpha = 1.0 - jnp.exp(-free_energy)
-    transmittance = jnp.exp(-jnp.cumsum(shifted, axis=-1))
+    transmittance = jnp.exp(-prefix_sum(shifted))
     return alpha * transmittance

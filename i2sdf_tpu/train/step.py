@@ -26,12 +26,19 @@ from ..models.losses import compute_losses
 from ..utils.imaging import psnr as psnr_fn
 
 
+def _auto_fused(fused_sampler):
+    """Default the fused Pallas sampler MLP to on for TPU backends."""
+    if fused_sampler is None:
+        return jax.default_backend() not in ("cpu",)
+    return fused_sampler
+
+
 def make_train_step(model_cfg, tx: optax.GradientTransformation,
                     batch_size: int, mesh=None, bubble: bool = False,
                     bubble_batch_size: int | None = None,
                     pdf_prune: float = 0.0, pdf_max: float | None = None,
                     pdf_criterion: str = "DEPTH",
-                    donate: bool = True):
+                    donate: bool = True, fused_sampler: bool | None = None):
     """Build the jitted step.
 
     Signature of the returned fn (bubble=False):
@@ -43,6 +50,7 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
     point cloud (parity: trainer/recon.py:142-170,242-252).
     """
     bubble_bs = bubble_batch_size or batch_size
+    fused = _auto_fused(fused_sampler)
 
     def loss_and_metrics(params, data: DeviceArrays, key, weights):
         k_batch, k_bubble, k_render = jax.random.split(key, 3)
@@ -67,7 +75,7 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
                 lambda x: jax.lax.with_sharding_constraint(x, shard), inputs)
 
         out = renderer.render_rays(params, model_cfg, inputs, k_render,
-                                   training=True)
+                                   training=True, fused_sampler=fused)
         terms = compute_losses(out, gt, weights)
         metrics = dict(terms)
         metrics["psnr"] = psnr_fn(out["rgb_values"],
@@ -122,13 +130,16 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
-def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None):
+def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None,
+                        fused_sampler: bool | None = None):
     """Full-image renderer: jitted per-chunk eval forward.
 
     Replaces split_input/merge_output chunking
     (`/root/reference/utils/__init__.py:35-91`); pixels shard over chips.
     Returns fn(params, inputs_chunk) -> outputs dict.
     """
+
+    fused = _auto_fused(fused_sampler)
 
     @partial(jax.jit, static_argnames=("predict_only",))
     def render_chunk(params, inputs, predict_only=False):
@@ -140,7 +151,7 @@ def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None):
                 inputs["uv"], shard))
         return renderer.render_rays(
             params, model_cfg, inputs, jax.random.PRNGKey(0),
-            training=False, predict_only=predict_only)
+            training=False, predict_only=predict_only, fused_sampler=fused)
 
     def render_image(params, uv, intrinsics, pose, predict_only=False):
         """uv: (HW, 2); returns dict of (HW, ...) arrays."""

@@ -1,0 +1,379 @@
+"""Reconstruction training orchestration (host loop around jitted steps).
+
+Capability parity with `/root/reference/model/trainer/recon.py:23-395`
+(ReconstructionTrainer): bubble lifecycle (activate at min_bubble_iter →
+initialize the point-cloud pdf by rendering every training pixel and
+scoring depth/RGB error; deactivate at max_bubble_iter), periodic
+validation renders with PSNR/SSIM(/LPIPS when available), artifact dumps
+(renderings, depths, normals, light masks, hotmaps, countmaps,
+pointcloud HTML), TensorBoard scalars, config snapshot, and periodic
+checkpoints.
+
+TPU-first design: the host loop only sequences jitted programs and
+writes artifacts — all math (including pdf init renders and pdf updates)
+stays on device. Steps are logged in batches to avoid per-step host
+syncs (the reference pays a GPU sync per `self.log`).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CfgNode
+from ..data.plot import PlotData
+from ..data.recon import ReconData
+from ..models import renderer
+from ..models.losses import LossConfig
+from ..utils.imaging import linear_to_srgb, psnr, ssim
+from . import artifacts
+from .checkpoint import CheckpointManager
+from .state import create_train_state
+from .step import make_eval_render_fn, make_train_step
+
+
+def lpips_fn():
+    """Optional LPIPS via torch-cpu torchmetrics; gated on pretrained
+    weights being available locally (zero-egress environments lack them)."""
+    try:
+        import torch
+        from torchmetrics.image.lpip import (
+            LearnedPerceptualImagePatchSimilarity as LPIPS)
+
+        metric = LPIPS(net_type="alex")
+
+        def compute(pred, gt):
+            with torch.no_grad():
+                p = torch.from_numpy(
+                    np.asarray(pred, np.float32).transpose(2, 0, 1))[None]
+                g = torch.from_numpy(
+                    np.asarray(gt, np.float32).transpose(2, 0, 1))[None]
+                return float(metric(p.clamp(0, 1) * 2 - 1,
+                                    g.clamp(0, 1) * 2 - 1))
+
+        return compute
+    except Exception:
+        return None
+
+
+class ReconstructionTrainer:
+    def __init__(self, conf: CfgNode, exp_dir: str, data_root: str = "data",
+                 is_val: bool = False, val_mesh: bool = False,
+                 fused_sampler: bool | None = None):
+        self.conf = conf
+        self.exp_dir = exp_dir
+        self.val_mesh = val_mesh
+        os.makedirs(exp_dir, exist_ok=True)
+        os.makedirs(os.path.join(exp_dir, "checkpoints"), exist_ok=True)
+        self.plots_dir = os.path.join(exp_dir, "plots")
+        os.makedirs(self.plots_dir, exist_ok=True)
+
+        self.loss_cfg = LossConfig.from_cfgnode(conf.loss)
+        use_normal = (self.loss_cfg.normal_weight > 0
+                      or self.loss_cfg.angular_weight > 0)
+
+        print("[INFO] Loading data ...")
+        dataset_conf = dict(conf.dataset)
+        self.scan_id = dataset_conf.pop("scan_id", 0)
+        self.train_data = ReconData(
+            scan_id=self.scan_id, data_root=data_root,
+            use_mask=self.loss_cfg.mask_weight > 0,
+            use_depth=self.loss_cfg.depth_weight > 0,
+            use_normal=use_normal,
+            use_bubble=self.loss_cfg.bubble_weight > 0,
+            use_lightmask=self.loss_cfg.light_mask_weight > 0,
+            **dataset_conf)
+        self.is_hdr = dataset_conf.get("is_hdr", False)
+        self.device_data = self.train_data.to_device()
+
+        data_handoff = {
+            "intrinsics": self.train_data.intrinsics_all,
+            "pose": self.train_data.pose_all,
+            "rgb": self.train_data.rgb_images,
+            "img_res": self.train_data.img_res,
+        }
+        if self.train_data.use_lightmask:
+            data_handoff["light_mask"] = self.train_data.lightmask_images
+        self.plot_data = PlotData(
+            data=data_handoff,
+            downsample=dataset_conf.get("downsample", 1),
+            plot_nimgs=conf.plot.get("plot_nimgs", 1), is_val=is_val)
+
+        # model + optimizer
+        model_conf = conf.model
+        model_conf.use_normal = use_normal
+        self.model_cfg = renderer.I2SDFConfig.from_cfgnode(model_conf)
+        params = renderer.init(jax.random.PRNGKey(conf.get("seed", 42)),
+                               self.model_cfg)
+        self.max_steps = conf.train.get("steps", 200_000)
+        n_images = self.train_data.n_images
+        epoch_steps = len(self.train_data) / conf.train.batch_size
+        nepochs = int(math.ceil(self.max_steps / epoch_steps))
+        decay_steps = nepochs * n_images  # parity trainer/recon.py:204-206
+        self.state, self.tx = create_train_state(
+            params, learning_rate=conf.train.learning_rate,
+            decay_rate=conf.train.get("sched_decay_rate", 0.1),
+            decay_steps=max(decay_steps, 1))
+
+        self.batch_size = conf.train.batch_size
+        self.bubble_batch_size = conf.train.get("bubble_batch_size",
+                                                self.batch_size)
+        self.pdf_criterion = conf.train.get("pdf_criterion", "DEPTH")
+        assert self.pdf_criterion in ("RGB", "DEPTH")
+        self.uniform_bubble = conf.train.get("uniform_bubble", False)
+        self.split_n_pixels = conf.train.get("split_n_pixels", 12000)
+        self.checkpoint_freq = conf.train.get("checkpoint_freq", 10000)
+        self.plot_freq = conf.train.get("plot_freq", 500)
+        self.trace_bub_idx = conf.train.get("trace_bub_idx", -1)
+
+        step_kwargs = dict(pdf_prune=self.train_data.pdf_prune,
+                           pdf_max=self.train_data.pdf_max,
+                           pdf_criterion=self.pdf_criterion,
+                           fused_sampler=fused_sampler)
+        self._step_plain = make_train_step(
+            self.model_cfg, self.tx, self.batch_size, **step_kwargs)
+        self._step_bubble = None  # built lazily at bubble activation
+        self._step_kwargs = step_kwargs
+        self.render_image, self._render_chunk = make_eval_render_fn(
+            self.model_cfg, chunk_size=self.split_n_pixels,
+            fused_sampler=fused_sampler)
+
+        # bubble state (device arrays when active)
+        self.bubble_activated = False
+        self.pdf = None
+        self.sample_count = None
+
+        # observability
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(exp_dir, "tb"))
+        except Exception:
+            self.tb = None
+        self.lpips = lpips_fn()
+        self.ckpt = CheckpointManager(
+            os.path.join(exp_dir, "checkpoints", "orbax"))
+
+        with open(os.path.join(exp_dir, "config.yml"), "w") as f:
+            f.write(conf.dump())
+        if self.train_data.use_bubble:
+            os.makedirs(os.path.join(exp_dir, "hotmap"), exist_ok=True)
+            os.makedirs(os.path.join(exp_dir, "countmap"), exist_ok=True)
+            artifacts.write_pointcloud_html(
+                self.train_data.pointcloud,
+                os.path.join(exp_dir, "pointcloud.html"))
+            if self.trace_bub_idx != -1:
+                os.makedirs(os.path.join(self.plots_dir, "bubble"),
+                            exist_ok=True)
+        print(f"[INFO] Finish loading data. Data-set size: {n_images}")
+
+    # -- bubble subsystem ---------------------------------------------------
+
+    def initialize_bubble_pdf(self) -> None:
+        """Render every training pixel, score |pred - gt| (depth or RGB),
+        scatter into the pdf (parity trainer/recon.py:172-199)."""
+        ds = self.train_data
+        n_points = len(ds.pointcloud)
+        pdf = jnp.zeros((n_points,), jnp.float32)
+        data = self.device_data
+        for i in range(ds.n_images):
+            out = self.render_image(
+                self.state.params, data.uv, data.intrinsics[i], data.pose[i],
+                predict_only=True)
+            if self.pdf_criterion == "RGB":
+                err = jnp.mean(jnp.abs(
+                    jnp.clip(out["rgb_values"], 0, 1)
+                    - jnp.clip(data.rgb[i], 0, 1)), axis=-1)
+            else:
+                err = jnp.abs(out["depth_values"] - data.depth[i])
+            if ds.pdf_max is not None:
+                err = jnp.clip(err, max=ds.pdf_max)
+            err = jnp.where(err < ds.pdf_prune, 0.0, err)
+            links = data.pointlinks[i * ds.total_pixels:(i + 1)
+                                    * ds.total_pixels]
+            pdf = pdf.at[links].set(err, mode="drop")
+        self.pdf = pdf
+        self.sample_count = jnp.zeros((n_points,), jnp.int32)
+        np.save(os.path.join(self.exp_dir, "checkpoints", "pdf.npy"),
+                np.asarray(pdf))
+        nz = int(jnp.count_nonzero(pdf))
+        print(f"[INFO] {nz}/{n_points} points to be sampled")
+        self._write_hotmaps()
+
+    def _write_hotmaps(self) -> None:
+        ds = self.train_data
+        step = int(self.state.step)
+        trace_dir = os.path.join(self.plots_dir, "bubble")
+        artifacts.write_hotmaps(
+            os.path.join(self.exp_dir, "hotmap"), np.asarray(self.pdf),
+            ds.pixlinks, ds.n_images, ds.img_res, step=step,
+            trace_idx=self.trace_bub_idx, trace_dir=trace_dir)
+        if self.sample_count is not None:
+            artifacts.write_countmaps(
+                os.path.join(self.exp_dir, "countmap"),
+                np.asarray(self.sample_count), ds.pixlinks, ds.n_images,
+                ds.img_res, step=step, trace_idx=self.trace_bub_idx,
+                trace_dir=trace_dir)
+
+    def _maybe_toggle_bubble(self, step: int) -> None:
+        lc = self.loss_cfg
+        want = (self.train_data.use_bubble and lc.max_bubble_iter is not None
+                and lc.min_bubble_iter <= step < lc.max_bubble_iter)
+        if want and not self.bubble_activated:
+            self.bubble_activated = True
+            if not self.uniform_bubble:
+                print(f"[INFO] Initializing pointcloud PDF "
+                      f"({self.pdf_criterion})")
+                self.initialize_bubble_pdf()
+            else:
+                n = len(self.train_data.pointcloud)
+                print("[INFO] Ablation: uniform bubble sampling")
+                self.pdf = jnp.ones((n,), jnp.float32)
+                self.sample_count = jnp.zeros((n,), jnp.int32)
+            if self._step_bubble is None:
+                self._step_bubble = make_train_step(
+                    self.model_cfg, self.tx, self.batch_size, bubble=True,
+                    bubble_batch_size=self.bubble_batch_size,
+                    **self._step_kwargs)
+        elif self.bubble_activated and not want:
+            self.bubble_activated = False
+            self.pdf = None
+            self.sample_count = None
+            print("[INFO] Bubble window closed")
+
+    # -- training loop ------------------------------------------------------
+
+    def fit(self, max_steps: int | None = None, resume: bool = False,
+            log_every: int = 50) -> None:
+        max_steps = max_steps or self.max_steps
+        if resume:
+            try:
+                self.state, bubble = self.ckpt.restore(self.state)
+                if bubble is not None:
+                    self.pdf = bubble.get("pdf")
+                    self.sample_count = bubble.get("sample_count")
+                print(f"[INFO] Resumed from step {int(self.state.step)}")
+            except FileNotFoundError:
+                print("[INFO] No checkpoint found, starting fresh")
+
+        key = jax.random.PRNGKey(self.conf.get("seed", 42) + 1)
+        pending = []
+        t0 = time.perf_counter()
+        step = int(self.state.step)
+        while step < max_steps:
+            self._maybe_toggle_bubble(step)
+            w = self.loss_cfg.dynamic_weights(step)
+            key, k = jax.random.split(key)
+            if self.bubble_activated:
+                self.state, metrics, self.pdf, self.sample_count = (
+                    self._step_bubble(self.state, self.device_data, k, w,
+                                      self.pdf, self.sample_count))
+            else:
+                self.state, metrics = self._step_plain(
+                    self.state, self.device_data, k, w)
+            pending.append((step, metrics))
+            step += 1
+
+            if step % log_every == 0 or step == max_steps:
+                self._flush_logs(pending, t0)
+                pending = []
+                t0 = time.perf_counter()
+            if step % self.plot_freq == 0 or step == max_steps:
+                self.validate(step)
+            if step % self.checkpoint_freq == 0 or step == max_steps:
+                self.save_checkpoint(step)
+        print("[INFO] Training complete")
+
+    def _flush_logs(self, pending, t0) -> None:
+        if not pending:
+            return
+        step, metrics = pending[-1]
+        vals = {k: float(v) for k, v in metrics.items()}
+        sps = len(pending) / max(time.perf_counter() - t0, 1e-9)
+        print(f"[{step + 1}] loss={vals['loss']:.4f} "
+              f"psnr={vals['psnr']:.2f} ({sps:.1f} steps/s, "
+              f"{sps * self.batch_size:.0f} rays/s)")
+        if self.tb:
+            self.tb.add_scalar("train/loss", vals["loss"], step)
+            self.tb.add_scalar("train/psnr", vals["psnr"], step)
+            self.tb.add_scalar(
+                "train/beta", abs(float(self.state.params["beta"])), step)
+            for name in ("rgb_loss", "eikonal_loss", "smooth_loss",
+                         "mask_loss", "depth_loss", "normal_loss",
+                         "angular_loss", "bubble_loss", "light_mask_loss"):
+                if vals.get(name, 0.0) > 0:
+                    self.tb.add_scalar(f"train/{name}", vals[name], step)
+
+    # -- validation ---------------------------------------------------------
+
+    def validate(self, step: int) -> dict:
+        pd = self.plot_data
+        pd.shuffle_plot_index()
+        H, W = pd.img_res
+        psnrs, ssims, lpipss = [], [], []
+        for i in pd.plot_index:
+            uv, K, pose, rgb_gt = pd.image_inputs(int(i))
+            out = self.render_image(self.state.params, jnp.asarray(uv),
+                                    jnp.asarray(K), jnp.asarray(pose))
+            pred = np.asarray(out["rgb_values"]).reshape(H, W, 3)
+            gt = rgb_gt.reshape(H, W, 3)
+            if self.is_hdr:
+                pred_disp = np.asarray(linear_to_srgb(np.clip(pred, 0, 1)))
+                gt_disp = np.asarray(linear_to_srgb(np.clip(gt, 0, 1)))
+                os.makedirs(f"{self.plots_dir}/hdr", exist_ok=True)
+                artifacts.write_rgb(
+                    f"{self.plots_dir}/hdr/{step}_{i}.npy", pred)
+            else:
+                pred_disp, gt_disp = pred, gt
+            psnrs.append(float(psnr(pred_disp, gt_disp)))
+            ssims.append(float(ssim(pred_disp[None], gt_disp[None])))
+            if self.lpips:
+                lpipss.append(self.lpips(pred_disp, gt_disp))
+
+            os.makedirs(f"{self.plots_dir}/rendering", exist_ok=True)
+            os.makedirs(f"{self.plots_dir}/depth", exist_ok=True)
+            artifacts.write_pred_gt_grid(
+                f"{self.plots_dir}/rendering/{step}_{i}.png", pred_disp,
+                gt_disp)
+            artifacts.write_depth(
+                f"{self.plots_dir}/depth/{step}_{i}.png",
+                np.asarray(out["depth_values"]).reshape(H, W))
+            if "normal_map" in out:
+                os.makedirs(f"{self.plots_dir}/normal", exist_ok=True)
+                # world -> camera rotation for display (recon.py:339-346)
+                n_world = np.asarray(out["normal_map"]).reshape(H, W, 3)
+                R = np.asarray(pose)[:3, :3]
+                n_cam = n_world @ R  # R^T applied from the right
+                artifacts.write_normal(
+                    f"{self.plots_dir}/normal/{step}_{i}.png", n_cam)
+            if "light_mask" in out:
+                os.makedirs(f"{self.plots_dir}/light_mask", exist_ok=True)
+                artifacts.write_colormap(
+                    f"{self.plots_dir}/light_mask/{step}_{i}.png",
+                    np.asarray(out["light_mask"]).reshape(H, W))
+
+        if self.bubble_activated and not self.uniform_bubble:
+            self._write_hotmaps()
+
+        result = {"psnr": float(np.mean(psnrs)),
+                  "ssim": float(np.mean(ssims))}
+        if lpipss:
+            result["lpips"] = float(np.mean(lpipss))
+        if self.tb:
+            for k, v in result.items():
+                self.tb.add_scalar(f"val/{k}", v, step)
+        print(f"[val @{step}] " + " ".join(
+            f"{k}={v:.3f}" for k, v in result.items()))
+        return result
+
+    def save_checkpoint(self, step: int) -> None:
+        bubble = None
+        if self.bubble_activated:
+            bubble = {"pdf": self.pdf, "sample_count": self.sample_count}
+        self.ckpt.save(step, self.state, bubble)
+        print(f"[INFO] checkpoint @{step}")

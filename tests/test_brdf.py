@@ -1,0 +1,108 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i2sdf_tpu.models import brdf
+from i2sdf_tpu.models.rendering_layer import RenderingLayerConfig, shade
+
+
+def _unit(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def test_onb_orthonormal():
+    n = jnp.asarray(_unit(np.random.default_rng(0).normal(size=(64, 3))))
+    t, b = brdf.build_onb(n)
+    for pair in [(t, b), (t, n), (b, n)]:
+        dots = np.asarray(jnp.sum(pair[0] * pair[1], -1))
+        np.testing.assert_allclose(dots, 0.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(t, axis=-1)), 1.0,
+                               atol=1e-5)
+    # right-handed: t x b = n
+    np.testing.assert_allclose(np.asarray(jnp.cross(t, b)), np.asarray(n),
+                               atol=1e-5)
+
+
+def test_local_world_roundtrip():
+    rng = np.random.default_rng(1)
+    n = jnp.asarray(_unit(rng.normal(size=(16, 3))))
+    v = jnp.asarray(_unit(rng.normal(size=(16, 3))))
+    v2 = brdf.to_world(brdf.to_local(v, n), n)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=1e-5)
+
+
+def test_metallic_conversion():
+    albedo = jnp.asarray([[0.8, 0.4, 0.2]])
+    kd0, ks0 = brdf.metallic_to_kd_ks(albedo, jnp.asarray([0.0])[:, None])
+    np.testing.assert_allclose(np.asarray(kd0), np.asarray(albedo), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ks0), 0.04, atol=1e-6)
+    kd1, ks1 = brdf.metallic_to_kd_ks(albedo, jnp.asarray([1.0])[:, None])
+    np.testing.assert_allclose(np.asarray(kd1), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ks1), np.asarray(albedo), atol=1e-6)
+
+
+def test_ggx_ndf_normalizes():
+    """Integral of D(h) cos(h) over the hemisphere must be ~1."""
+    alpha = 0.3
+    n_samples = 200_000
+    rng = np.random.default_rng(0)
+    # uniform hemisphere sampling
+    u = rng.random((n_samples, 2))
+    cos_t = u[:, 0]
+    d = np.asarray(brdf.ggx_ndf(jnp.asarray(cos_t), alpha))
+    # E[D cos / p] with p = 1/(2pi)
+    integral = np.mean(d * cos_t) * 2 * np.pi
+    np.testing.assert_allclose(integral, 1.0, rtol=0.02)
+
+
+def test_cosine_sampling_distribution():
+    n = jnp.asarray(np.tile(_unit([0.0, 0.0, 1.0]), (4096, 1)))
+    l, pdf = brdf.sample_cosine_hemisphere(jax.random.PRNGKey(0), n)
+    cos = np.asarray(l[:, 2])
+    assert cos.min() > 0
+    np.testing.assert_allclose(cos.mean(), 2.0 / 3.0, atol=0.02)
+    np.testing.assert_allclose(np.asarray(pdf), cos / np.pi, atol=1e-5)
+
+
+def test_vndf_sampling_reflects_above_surface():
+    rng = np.random.default_rng(2)
+    n = jnp.asarray(np.tile(_unit([0.0, 0.0, 1.0]), (2048, 1)))
+    v = jnp.asarray(_unit(np.abs(rng.normal(size=(2048, 3)))
+                          * np.array([1, 1, 1.0])))
+    rough = jnp.full((2048,), 0.4)
+    l, h = brdf.sample_ggx_vndf(jax.random.PRNGKey(1), n, v, rough)
+    # half vectors are in the upper hemisphere
+    assert float(jnp.min(h[:, 2])) > 0
+    # l = reflect(v, h) is unit
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(l, axis=-1)), 1.0,
+                               atol=1e-4)
+
+
+def test_white_furnace_diffuse():
+    """MC estimate of a white Lambertian under unit ambient light ~ albedo."""
+    n_pts = 512
+    rng = np.random.default_rng(3)
+    normals = jnp.asarray(_unit(rng.normal(size=(n_pts, 3))))
+    view = jnp.asarray(_unit(np.asarray(normals)
+                             + 0.3 * rng.normal(size=(n_pts, 3))))
+    kd = jnp.full((n_pts, 3), 0.7)
+    ks = jnp.full((n_pts, 3), 0.0001)
+    rough = jnp.full((n_pts,), 0.5)
+
+    out = shade(RenderingLayerConfig(spp=256), jax.random.PRNGKey(0),
+                jnp.zeros((n_pts, 3)), normals, view, kd, ks, rough,
+                lambda p, d: jnp.ones((p.shape[0], 3)))
+    mean_diff = float(out["color_diffuse"].mean())
+    np.testing.assert_allclose(mean_diff, 0.7, rtol=0.05)
+
+
+def test_combined_pdf_positive_and_normalized_choice():
+    rng = np.random.default_rng(4)
+    n = jnp.asarray(np.tile(_unit([0.0, 0.0, 1.0]), (128, 1)))
+    v = jnp.asarray(_unit(np.abs(rng.normal(size=(128, 3)))))
+    l = jnp.asarray(_unit(np.abs(rng.normal(size=(128, 3)))))
+    kd = jnp.full((128, 3), 0.5)
+    ks = jnp.full((128, 3), 0.2)
+    pdf = brdf.combined_pdf(kd, ks, jnp.full((128,), 0.3), n, v, l)
+    assert np.asarray(pdf).min() > 0
