@@ -1,0 +1,124 @@
+"""Multi-chip data parallelism on the 8-virtual-device CPU mesh:
+sharded training must match single-device numerics (same program, XLA
+inserts the collectives)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2sdf_tpu.config import CfgNode
+from i2sdf_tpu.data.recon import DeviceArrays
+from i2sdf_tpu.models import renderer
+from i2sdf_tpu.models.losses import LossConfig
+from i2sdf_tpu.parallel import make_mesh, replicate_params, shard_batch
+from i2sdf_tpu.train import create_train_state, make_train_step
+
+TINY = {
+    "feature_vector_size": 16,
+    "scene_bounding_sphere": 3.0,
+    "implicit_network": {
+        "d_in": 3, "d_out": 1, "dims": [16, 16], "geometric_init": True,
+        "bias": 0.6, "skip_in": [], "weight_norm": True,
+        "embed_type": "positional", "multires": 2,
+    },
+    "rendering_network": {
+        "mode": "nerf", "d_in": 3, "d_out": 3, "dims": [16],
+        "weight_norm": True, "embed_type": "positional", "multires": 2,
+    },
+    "density": {"params_init": {"beta": 0.1}, "beta_min": 1e-4},
+    "ray_sampler": {
+        "near": 0.0, "N_samples": 8, "N_samples_eval": 16,
+        "N_samples_extra": 4, "eps": 0.1, "beta_iters": 2,
+        "max_total_iters": 2,
+    },
+}
+
+
+def make_data(n_img=2, hw=64):
+    rng = np.random.default_rng(0)
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 10.0
+    K[0, 2] = K[1, 2] = 4.0
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, -2.0]
+    jj, ii = np.meshgrid(np.arange(8), np.arange(8))
+    uv = np.stack([jj, ii], -1).reshape(-1, 2).astype(np.float32)
+    return DeviceArrays(
+        uv=jnp.asarray(uv),
+        intrinsics=jnp.asarray(np.broadcast_to(K, (n_img, 4, 4))),
+        pose=jnp.asarray(np.broadcast_to(pose, (n_img, 4, 4))),
+        rgb=jnp.asarray(rng.uniform(0, 1, (n_img, hw, 3)), jnp.float32),
+        mask=None, light_mask=None,
+        depth=jnp.asarray(rng.uniform(1, 3, (n_img, hw)), jnp.float32),
+        depth_mask=jnp.ones((n_img, hw), bool),
+        normal=jnp.asarray(np.tile([0.0, 0.0, 1.0], (n_img, hw, 1)),
+                           jnp.float32),
+        normal_mask=jnp.ones((n_img, hw), bool),
+        pointcloud=None, pointlinks=None, pixlinks=None,
+    )
+
+
+def setup():
+    node = CfgNode(TINY)
+    node.use_normal = True
+    cfg = renderer.I2SDFConfig.from_cfgnode(node)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    state, tx = create_train_state(params, learning_rate=5e-4,
+                                   decay_steps=100)
+    w = LossConfig(eikonal_weight=0.1, depth_weight=0.1,
+                   normal_weight=0.05).dynamic_weights(0)
+    return cfg, state, tx, w
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_matches_single_device():
+    cfg, state, tx, w = setup()
+    data = make_data()
+    key = jax.random.PRNGKey(3)
+    batch = 32  # divisible by 8
+
+    step_single = make_train_step(cfg, tx, batch_size=batch, donate=False)
+    s1, m1 = step_single(state, data, key, w)
+
+    mesh = make_mesh(8)
+    params_r = replicate_params(mesh, state.params)
+    state_r = state._replace(params=params_r)
+    step_sharded = make_train_step(cfg, tx, batch_size=batch, mesh=mesh,
+                                   donate=False)
+    s2, m2 = step_sharded(state_r, data, key, w)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params)
+    l2 = jax.tree_util.tree_leaves(s2.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-6)
+
+
+def test_sharded_multi_step_stays_finite():
+    cfg, state, tx, w = setup()
+    data = make_data()
+    mesh = make_mesh(8)
+    state = state._replace(params=replicate_params(mesh, state.params))
+    step = make_train_step(cfg, tx, batch_size=64, mesh=mesh)
+    key = jax.random.PRNGKey(0)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, data, k, w)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 5
+
+
+def test_graft_entry_dryrun():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
