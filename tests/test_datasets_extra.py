@@ -1,0 +1,75 @@
+"""Material / Relight / PlotData datasets."""
+
+import numpy as np
+import pytest
+
+from i2sdf_tpu.data import generate_synthetic_scene
+from i2sdf_tpu.data.material import MaterialData
+from i2sdf_tpu.data.plot import PlotData
+from i2sdf_tpu.data.relight import RelightData, RelightVideoData
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    generate_synthetic_scene(str(root / "demo"), n_images=4,
+                             img_res=(24, 32))
+    return str(root)
+
+
+def test_material_downsample(scene):
+    full = MaterialData("demo", data_root=scene, use_mask=True)
+    half = MaterialData("demo", data_root=scene, use_mask=True,
+                        downsample_train=2)
+    assert full.img_res == [24, 32]
+    assert half.img_res == [12, 16]
+    assert half.total_pixels == 12 * 16
+    np.testing.assert_allclose(half.intrinsics_all[0][:2, :2],
+                               full.intrinsics_all[0][:2, :2] / 2)
+    assert half.mask_images.shape == (4, 192, 1)
+
+
+def test_plotdata_from_disk_and_downsample(scene):
+    pd = PlotData("demo", data_root=scene, downsample=2, plot_nimgs=-1)
+    assert pd.img_res == [12, 16]
+    assert pd.n_images == 4
+    assert len(pd.plot_index) == 4
+    uv, K, pose, rgb = pd.image_inputs(0)
+    assert uv.shape == (192, 2)
+    assert rgb.shape == (192, 3)
+
+
+def test_plotdata_indices_subset(scene):
+    pd = PlotData("demo", data_root=scene, indices=[1, 3], plot_nimgs=1)
+    assert pd.n_images == 2
+    assert len(pd.plot_index) == 1
+
+
+def test_relight_edit_overrides(scene, tmp_path):
+    import cv2
+
+    kd_override = np.full((24, 32, 3), 0.25, np.float32)
+    np.save(tmp_path / "kd.npy", kd_override)
+    mask = np.zeros((24, 32), np.float32)
+    mask[:12] = 1.0
+    cv2.imwrite(str(tmp_path / "mask.png"), (mask * 255).astype(np.uint8))
+
+    rd = RelightData("demo", data_root=scene, plot_nimgs=1,
+                     edit_conf={"kd": str(tmp_path / "kd.npy"),
+                                "mask": str(tmp_path / "mask.png")})
+    assert "kd" in rd.edits and "mask" in rd.edits
+    base = np.ones((24 * 32, 3), np.float32)
+    out = rd.edited_materials(base, base, base[:, :1], base)
+    kd = out["kd"].reshape(24, 32, 3)
+    np.testing.assert_allclose(kd[:12], 0.25, atol=1e-2)
+    np.testing.assert_allclose(kd[12:], 1.0, atol=1e-2)
+
+
+def test_relight_video_poses(scene):
+    rv = RelightVideoData("demo", data_root=scene, plot_nimgs=1,
+                          id0=0, id1=2, num_frames=5)
+    assert rv.frame_poses.shape == (5, 4, 4)
+    uv, K, pose = rv.frame_inputs(2)
+    assert pose.shape == (4, 4)
+    np.testing.assert_allclose(pose[:3, :3] @ pose[:3, :3].T, np.eye(3),
+                               atol=1e-5)

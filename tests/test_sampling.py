@@ -63,3 +63,28 @@ def test_gumbel_topk_respects_mask():
     for i in range(20):
         idx = np.asarray(gumbel_topk_sample(jax.random.PRNGKey(i), log_w, 2))
         assert set(idx.tolist()) == {0, 2}
+
+
+def test_trunc_exp_clamped_backward():
+    from i2sdf_tpu.ops.activations import trunc_exp
+
+    x = jnp.array([0.0, 1.0, 20.0])
+    np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp([0, 1, 20]),
+                               rtol=1e-5)
+    g = jax.grad(lambda v: jnp.sum(trunc_exp(v)))(x)
+    # backward clamps the exponent at 15
+    np.testing.assert_allclose(np.asarray(g),
+                               np.exp([0, 1, 15]), rtol=1e-5)
+
+
+def test_prefix_sum_matches_cumsum():
+    from i2sdf_tpu.ops.sampling import prefix_sum
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (16, 256))
+    a = np.asarray(prefix_sum(x))
+    b = np.cumsum(np.asarray(x), axis=-1)
+    np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
+    # small case goes through the exact path
+    y = jax.random.uniform(jax.random.PRNGKey(1), (4, 32))
+    np.testing.assert_allclose(np.asarray(prefix_sum(y)),
+                               np.cumsum(np.asarray(y), -1), rtol=1e-6)
