@@ -174,8 +174,18 @@ def _merge_a_into_b(a: CfgNode, b: CfgNode, full_key: str) -> None:
 
 
 def load_cfg(f) -> CfgNode:
-    """Load a CfgNode from a YAML file object, path string, or YAML text."""
+    """Load a CfgNode from a YAML path/text/file object, or a .py module
+    exporting `cfg` (parity with the reference's python-config support,
+    cfgnode.py:356-371)."""
     if isinstance(f, str):
+        if f.endswith(".py"):
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location("_user_cfg", f)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            cfg = getattr(mod, "cfg")
+            return cfg if isinstance(cfg, CfgNode) else CfgNode(cfg)
         if "\n" in f or ":" in f and not f.endswith((".yml", ".yaml")):
             # raw YAML text
             try:

@@ -137,6 +137,21 @@ def refuse(verts, tris, poses, K, H, W, far_clip: float = 5.0,
     return vol.extract_mesh()
 
 
+def depth2mesh(depths, poses, K, H, W, voxel_length: float = 0.01,
+               far_clip: float = 5.0, origin=None, extent: float = 6.0):
+    """TSDF-fuse raw depth maps into a mesh (parity mesh_util.py:117-135)."""
+    if origin is None:
+        origin = np.array([-extent / 2] * 3, np.float32)
+    dims = np.minimum(int(np.ceil(extent / voxel_length)) + 1, 640)
+    vol = native.TSDFVolume(origin=origin, dims=(dims,) * 3,
+                            voxel_size=voxel_length,
+                            sdf_trunc=3 * voxel_length, depth_max=far_clip)
+    for depth, pose in zip(depths, poses):
+        w2c = np.linalg.inv(np.asarray(pose, np.float64)).astype(np.float32)
+        vol.integrate(np.asarray(depth, np.float32), K, w2c)
+    return vol.extract_mesh()
+
+
 def voxel_downsample(points: np.ndarray, voxel: float) -> np.ndarray:
     """One representative point per occupied voxel (open3d parity)."""
     keys = np.floor(points / voxel).astype(np.int64)

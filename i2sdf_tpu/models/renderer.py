@@ -222,14 +222,18 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
 
     beta = effective_beta(params["beta"], cfg.beta_min)
 
+    round_impl = None
     if sdf_fn_nograd is None:
         if fused_sampler:
             from ..ops.pallas.fused_mlp import fused_sdf_mlp
+            from ..ops.pallas.sampler_round import make_round_impl
 
             def sdf_fn_nograd(pts):
                 return fused_sdf_mlp(
                     jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
                     pts)
+
+            round_impl = make_round_impl(cfg.sampler)
         else:
             def sdf_fn_nograd(pts):
                 return mlp.sdf_vals(
@@ -238,7 +242,7 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
 
     z_all, z_vals_bg, z_samples_eik = error_bound_z_vals(
         cfg.sampler, sdf_fn_nograd, k_sampler, ray_dirs, cam_loc, beta,
-        training)
+        training, round_impl=round_impl)
 
     z_max = z_all[:, -1]
     z_vals = z_all[:, :-1]

@@ -120,12 +120,68 @@ def _d_star(z_vals, sdf):
     return d_star, dists
 
 
+def round_update(cfg: SamplerConfig, z_vals, sdf, beta, beta0, u,
+                 final: bool):
+    """One refinement round of Algorithm 1 (pure-JAX reference path):
+    d* bound -> per-ray beta bisection -> compositing weights -> pdf
+    (error-bound or final weights) -> inverse-CDF samples at `u`.
+
+    z_vals/sdf: (R, S) sorted; beta: (R,); u: (R, N). Returns
+    (samples (R, N), beta (R,)). The Pallas fast path
+    (`i2sdf_tpu.ops.pallas.sampler_round`) implements this same function
+    as one kernel.
+    """
+    R = z_vals.shape[0]
+    d_star, dists = _d_star(z_vals, sdf)
+
+    curr_error = _get_error_bound(beta0, sdf, z_vals, dists, d_star)
+    converged = curr_error <= cfg.eps
+    beta = jnp.where(converged, beta0, beta)
+    beta_min_b = jnp.full((R,), beta0)
+    beta_max_b = beta
+    for _ in range(cfg.beta_iters):
+        beta_mid = 0.5 * (beta_min_b + beta_max_b)
+        mid_error = _get_error_bound(
+            beta_mid[:, None], sdf, z_vals, dists, d_star)
+        ok = mid_error <= cfg.eps
+        beta_max_b = jnp.where(ok, beta_mid, beta_max_b)
+        beta_min_b = jnp.where(ok, beta_min_b, beta_mid)
+    beta = beta_max_b
+
+    density = laplace_density(sdf, beta[:, None])
+    dists_inf = jnp.concatenate(
+        [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1)
+    free_energy = dists_inf * density
+    shifted = jnp.concatenate(
+        [jnp.zeros_like(free_energy[:, :1]), free_energy[:, :-1]], axis=-1)
+    alpha = 1.0 - jnp.exp(-free_energy)
+    transmittance = jnp.exp(-prefix_sum(shifted))
+    weights = alpha * transmittance
+
+    if final:
+        pdf = weights[:, :-1] + 1e-5
+    else:
+        error_per_section = (
+            jnp.exp(-d_star / beta[:, None])
+            * dists**2 / (4 * beta[:, None] ** 2))
+        error_integral = prefix_sum(error_per_section)
+        bound_opacity = (
+            jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0
+        ) * transmittance[:, :-1]
+        pdf = bound_opacity + cfg.add_tiny
+    cdf = pdf_to_cdf(pdf)
+    samples = sample_cdf(z_vals, cdf, u)
+    return samples, beta
+
+
 def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
-                       beta0, training: bool):
+                       beta0, training: bool, round_impl=None):
     """Adaptive sampling: returns (z_vals, z_vals_bg | None, z_samples_eik).
 
     ray_dirs: (R, 3) unit directions; cam_loc: (R, 3); beta0: scalar
     (current learned beta, already |.|+beta_min). `training` is static.
+    `round_impl` overrides the per-round refinement math (signature of
+    `round_update` minus cfg; used for the Pallas kernel).
     """
     R = ray_dirs.shape[0]
     keys = jax.random.split(key, cfg.max_total_iters + 4)
@@ -146,6 +202,10 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
     weights = None
     final_samples = None
 
+    impl = round_impl if round_impl is not None else (
+        lambda z, s, b, b0, u, final: round_update(cfg, z, s, b, b0, u,
+                                                   final))
+
     for it in range(cfg.max_total_iters):
         # SDF for only-new samples, merged in sorted order
         pts = cam_loc[:, None, :] + samples[..., None] * ray_dirs[:, None, :]
@@ -160,58 +220,19 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
             sdf = jnp.take_along_axis(
                 jnp.concatenate([sdf, new_sdf], axis=-1), order, axis=-1)
 
-        d_star, dists = _d_star(z_vals, sdf)
-
-        # beta line search: start at current beta, bisect toward beta0
-        curr_error = _get_error_bound(beta0, sdf, z_vals, dists, d_star)
-        converged = curr_error <= cfg.eps
-        beta = jnp.where(converged, beta0, beta)
-        beta_min_b = jnp.full((R,), beta0)
-        beta_max_b = beta
-        for _ in range(cfg.beta_iters):
-            beta_mid = 0.5 * (beta_min_b + beta_max_b)
-            mid_error = _get_error_bound(
-                beta_mid[:, None], sdf, z_vals, dists, d_star)
-            ok = mid_error <= cfg.eps
-            beta_max_b = jnp.where(ok, beta_mid, beta_max_b)
-            beta_min_b = jnp.where(ok, beta_min_b, beta_mid)
-        beta = beta_max_b
-
-        # current-beta compositing weights over the accumulated set
-        density = laplace_density(sdf, beta[:, None])
-        dists_inf = jnp.concatenate(
-            [dists, jnp.full_like(dists[:, :1], 1e10)], axis=-1)
-        free_energy = dists_inf * density
-        shifted = jnp.concatenate(
-            [jnp.zeros_like(free_energy[:, :1]), free_energy[:, :-1]], axis=-1)
-        alpha = 1.0 - jnp.exp(-free_energy)
-        transmittance = jnp.exp(-prefix_sum(shifted))
-        weights = alpha * transmittance
-
-        if it < cfg.max_total_iters - 1:
-            # upsample proportional to the opacity error bound
-            error_per_section = (
-                jnp.exp(-d_star / beta[:, None])
-                * dists**2 / (4 * beta[:, None] ** 2))
-            error_integral = prefix_sum(error_per_section)
-            bound_opacity = (
-                jnp.clip(jnp.exp(error_integral), max=1e6) - 1.0
-            ) * transmittance[:, :-1]
-            pdf = bound_opacity + cfg.add_tiny
-            cdf = pdf_to_cdf(pdf)
+        final = it == cfg.max_total_iters - 1
+        if not final:
             u = jnp.broadcast_to(
-                jnp.linspace(0.0, 1.0, cfg.N_samples_eval), (R, cfg.N_samples_eval))
-            samples = sample_cdf(z_vals, cdf, u)
+                jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
+                (R, cfg.N_samples_eval))
+        elif training:
+            u = jax.random.uniform(keys[it + 1], (R, cfg.N_samples))
         else:
-            # final rendering samples from the weights pdf
-            pdf = weights[:, :-1] + 1e-5
-            cdf = pdf_to_cdf(pdf)
-            if training:
-                u = jax.random.uniform(keys[it + 1], (R, cfg.N_samples))
-            else:
-                u = jnp.broadcast_to(
-                    jnp.linspace(0.0, 1.0, cfg.N_samples), (R, cfg.N_samples))
-            final_samples = sample_cdf(z_vals, cdf, u)
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, cfg.N_samples), (R, cfg.N_samples))
+        samples, beta = impl(z_vals, sdf, beta, beta0, u, final)
+        if final:
+            final_samples = samples
 
     # --- extras: near, far, and a subset of the accumulated set -------------
     near = jnp.full((R, 1), cfg.near, dtype=jnp.float32)

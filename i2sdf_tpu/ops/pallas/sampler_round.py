@@ -1,0 +1,254 @@
+"""One error-bound sampler refinement round as a single Pallas TPU kernel.
+
+Implements `i2sdf_tpu.models.sampler.round_update` — the d* triangle
+bound, the 10-step per-ray beta bisection (each step two prefix sums +
+transcendentals over (R, S)), compositing weights, the error-bound /
+final pdf, and inverse-CDF sampling — as ONE kernel blocked over rays.
+
+Why: on this TPU stack, XLA-generated elementwise fusions measure
+~0.6 Gelem/s while Mosaic kernels run at native speed; the sampler's
+round math dominated the training step (~110 ms of fusions at the
+shipped config). Design choices:
+
+* prefix sums are (S, S) triangular matmuls on the MXU (bf16 inputs,
+  f32 accumulation — the same precision the XLA path's `prefix_sum`
+  uses);
+* inverse-CDF sampling is gather-free: searchsorted's below/above
+  bins are masked max/min reductions over lane chunks (both `cdf` and
+  `bins` are nondecreasing, so the extremum at `cdf <= u` IS the
+  bracket), avoiding unsupported vector gathers;
+* everything sits at S lanes with the last lane masked, so no odd
+  (S-1)-shaped intermediates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _laplace(sdf, beta):
+    # exp(x) - 1 instead of expm1 (no Mosaic lowering for expm1); the
+    # f32 absolute error near x=0 is ~1e-7 — irrelevant at sampler scale
+    return (1.0 / beta) * (0.5 + 0.5 * jnp.sign(sdf)
+                           * (jnp.exp(-jnp.abs(sdf) / beta) - 1.0))
+
+
+def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
+                 add_tiny: float, final: bool, block_rows: int):
+    def kernel(z_ref, sdf_ref, beta_ref, u_ref, beta0_ref,
+               samples_ref, beta_out_ref):
+        z = z_ref[:]              # (BR, S) f32
+        s = sdf_ref[:]
+        beta_in = beta_ref[:]     # (BR, 1)
+        beta0 = beta0_ref[0, 0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, S), 1)
+        is_last = lane == S - 1
+        z_next = jnp.concatenate(
+            [z[:, 1:], jnp.zeros((block_rows, 1), z.dtype)], axis=1)
+        s_next = jnp.concatenate(
+            [s[:, 1:], jnp.zeros((block_rows, 1), s.dtype)], axis=1)
+        dists_m = jnp.where(is_last, 0.0, z_next - z)  # section widths
+
+        # --- d* (Theorem 1), masked-lane formulation --------------------
+        a = dists_m
+        b = jnp.abs(s)
+        c = jnp.abs(s_next)
+        first_cond = a * a + b * b <= c * c
+        second_cond = a * a + c * c <= b * b
+        hs = (a + b + c) / 2.0
+        area = hs * (hs - a) * (hs - b) * (hs - c)
+        mask = (~first_cond) & (~second_cond) & (b + c - a > 0)
+        first_only = first_cond & (~second_cond)
+        heron = (2.0 * jnp.sqrt(jnp.maximum(area, 0.0))
+                 / jnp.maximum(a, 1e-12))
+        d_star = (first_only * b + second_cond * c + heron * mask)
+        d_star = jnp.where(
+            (jnp.sign(s_next) * jnp.sign(s) == 1) & (~is_last), d_star, 0.0)
+
+        # --- prefix sums via triangular matmuls on the MXU ---------------
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        tri_incl = (row_i <= col_i).astype(jnp.bfloat16)
+        tri_strict = (row_i < col_i).astype(jnp.bfloat16)
+
+        def incl(x):
+            return jnp.dot(x.astype(jnp.bfloat16), tri_incl,
+                           preferred_element_type=jnp.float32)
+
+        def excl(x):
+            return jnp.dot(x.astype(jnp.bfloat16), tri_strict,
+                           preferred_element_type=jnp.float32)
+
+        def error_bound(beta_col):
+            dens = _laplace(s, beta_col)
+            e = jnp.where(is_last, 0.0, dists_m * dens)
+            integral_excl = excl(e)
+            err = jnp.where(
+                is_last, 0.0,
+                jnp.exp(-d_star / beta_col) * dists_m * dists_m
+                / (4.0 * beta_col * beta_col))
+            err_int = incl(err)
+            bound = (jnp.minimum(jnp.exp(err_int), 1e6) - 1.0) * jnp.exp(
+                -integral_excl)
+            bound = jnp.where(is_last, -jnp.inf, bound)
+            return jnp.max(bound, axis=-1, keepdims=True)  # (BR, 1)
+
+        beta0_col = jnp.full((block_rows, 1), beta0)
+        converged = error_bound(beta0_col) <= eps
+        beta = jnp.where(converged, beta0, beta_in)
+        bmin = beta0_col
+        bmax = beta
+        for _ in range(beta_iters):
+            mid = 0.5 * (bmin + bmax)
+            ok = error_bound(mid) <= eps
+            bmax = jnp.where(ok, mid, bmax)
+            bmin = jnp.where(ok, bmin, mid)
+        beta = bmax
+        beta_out_ref[:] = beta
+
+        # --- compositing weights over the accumulated set ---------------
+        dens = _laplace(s, beta)
+        dists_inf = jnp.where(is_last, 1e10, dists_m)
+        fe = dists_inf * dens
+        transmittance = jnp.exp(-excl(fe))
+        alpha = 1.0 - jnp.exp(-fe)
+        w = alpha * transmittance
+
+        if final:
+            pdf = jnp.where(is_last, 0.0, w + 1e-5)
+        else:
+            err = jnp.where(
+                is_last, 0.0,
+                jnp.exp(-d_star / beta) * dists_m * dists_m
+                / (4.0 * beta * beta))
+            bound_opacity = (jnp.minimum(jnp.exp(incl(err)), 1e6)
+                             - 1.0) * transmittance
+            pdf = jnp.where(is_last, 0.0, bound_opacity + add_tiny)
+
+        pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+        cdf = excl(pdf)  # cdf[t] = sum_{j<t} pdf[j]; cdf[0]=0, cdf[-1]~1
+
+        # --- gather-free inverse CDF -------------------------------------
+        u = u_ref[:]  # (BR, N)
+        neg_inf = jnp.float32(-jnp.inf)
+        pos_inf = jnp.float32(jnp.inf)
+        cdf_last = cdf[:, S - 1:]   # (BR, 1)
+        z_last = z[:, S - 1:]
+        cb = jnp.full_like(u, neg_inf)
+        bb = jnp.full_like(u, neg_inf)
+        ca = jnp.broadcast_to(cdf_last, u.shape)
+        ba = jnp.broadcast_to(z_last, u.shape)
+        for cstart in range(0, S, _LANES):
+            cdf_c = cdf[:, cstart:cstart + _LANES][:, None, :]
+            z_c = z[:, cstart:cstart + _LANES][:, None, :]
+            le = cdf_c <= u[:, :, None]            # (BR, N, C)
+            cb = jnp.maximum(cb, jnp.max(
+                jnp.where(le, cdf_c, neg_inf), axis=-1))
+            bb = jnp.maximum(bb, jnp.max(
+                jnp.where(le, z_c, neg_inf), axis=-1))
+            ca = jnp.minimum(ca, jnp.min(
+                jnp.where(le, pos_inf, cdf_c), axis=-1))
+            ba = jnp.minimum(ba, jnp.min(
+                jnp.where(le, pos_inf, z_c), axis=-1))
+        denom = ca - cb
+        denom = jnp.where(denom < 1e-5, 1.0, denom)
+        t = (u - cb) / denom
+        samples_ref[:] = bb + t * (ba - bb)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("beta_iters", "eps", "add_tiny", "final",
+                     "block_rows", "interpret"))
+def sampler_round_pallas(z_vals, sdf, beta, u, beta0, *, beta_iters: int,
+                         eps: float, add_tiny: float, final: bool,
+                         block_rows: int = 32, interpret: bool = False):
+    """(samples (R, N), beta (R,)) — kernel form of round_update."""
+    R, S = z_vals.shape
+    n_out = u.shape[1]
+    r_pad = _round_up(R, block_rows)
+
+    def pad(x, val=0.0):
+        return jnp.pad(x, ((0, r_pad - R),) + ((0, 0),) * (x.ndim - 1),
+                       constant_values=val)
+
+    z_p = pad(z_vals)
+    # padded rays: benign monotone z/sdf so the kernel math stays finite
+    if r_pad != R:
+        filler_z = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, S), (r_pad - R, S))
+        z_p = z_p.at[R:].set(filler_z)
+    sdf_p = pad(sdf, 1.0)
+    beta_p = pad(beta[:, None], 1.0)
+    u_p = pad(u)
+
+    kernel = _make_kernel(S, n_out, beta_iters, eps, add_tiny, final,
+                          block_rows)
+    grid = (r_pad // block_rows,)
+    samples, beta_out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, n_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, n_out), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_pad, n_out), jnp.float32),
+            jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r_pad * S * S * (2 * (beta_iters + 1) + 2),
+            bytes_accessed=r_pad * S * 8,
+            transcendentals=r_pad * S * 3 * (beta_iters + 2)),
+        interpret=interpret,
+    )(z_p, sdf_p, beta_p, u_p,
+      jnp.asarray(beta0, jnp.float32).reshape(1, 1))
+    return samples[:R], beta_out[:R, 0]
+
+
+def make_round_impl(cfg, block_rows: int = 8, interpret: bool = False):
+    """Adapter with the `round_update` signature for error_bound_z_vals.
+
+    All inputs are stop_gradient'ed: the sampler is not differentiated
+    (its callers stop-gradient the z outputs anyway) and severing AD here
+    keeps JVP/VJP machinery from wrapping the pallas_call. block_rows=8
+    keeps the (BR, N, 128) masked-reduction temporaries within the 16 MB
+    VMEM scoped limit.
+    """
+    sg = jax.lax.stop_gradient
+
+    def impl(z_vals, sdf, beta, beta0, u, final):
+        return sampler_round_pallas(
+            sg(z_vals), sg(sdf), sg(beta), sg(u), sg(beta0),
+            beta_iters=cfg.beta_iters, eps=cfg.eps, add_tiny=cfg.add_tiny,
+            final=final, block_rows=block_rows, interpret=interpret)
+
+    return impl

@@ -360,6 +360,22 @@ class ReconstructionTrainer:
         if self.bubble_activated and not self.uniform_bubble:
             self._write_hotmaps()
 
+        if self.val_mesh:
+            # parity with --val_mesh (trainer/recon.py:382-395): coarse
+            # marching cubes at the plot resolution each validation epoch
+            from ..eval.mesh import extract_mesh
+            from ..eval.mesh_io import write_ply
+
+            res = self.conf.plot.get("resolution", 100)
+            out = extract_mesh(
+                self.state.params["implicit"], self.model_cfg.implicit,
+                resolution=res,
+                grid_boundary=tuple(self.conf.plot.grid_boundary),
+                coarse_resolution=min(64, res), fused=None)
+            if out is not None:
+                os.makedirs(f"{self.plots_dir}/mesh", exist_ok=True)
+                write_ply(f"{self.plots_dir}/mesh/{step}.ply", *out)
+
         result = {"psnr": float(np.mean(psnrs)),
                   "ssim": float(np.mean(ssims))}
         if lpipss:
