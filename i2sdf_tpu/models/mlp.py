@@ -222,7 +222,8 @@ def sdf_gradient(params: Params, cfg: ImplicitNetConfig, x: jnp.ndarray):
 
     `vmap(grad)` replaces torch's create_graph double-backward
     (`mlp.py:107-118`); it composes with outer `jax.grad` for the
-    eikonal/smoothness losses.
+    eikonal/smoothness losses. (Reverse mode measured faster than
+    forward-mode jacfwd on v5e for this 9-layer MLP.)
     """
     def f(pt):
         return sdf_vals(params, cfg, pt[None, :])[0, 0]
@@ -235,7 +236,8 @@ def sdf_outputs(params: Params, cfg: ImplicitNetConfig, x: jnp.ndarray,
     """(sdf, feature, gradient-or-None) — parity with `mlp.py:123-143`.
 
     With gradients: one forward + one vjp per point (vmapped), instead of
-    the reference's forward + retained double-backward graph.
+    the reference's forward + retained double-backward graph. (Measured
+    faster than forward-mode jacfwd on v5e.)
     """
     if not returns_grad:
         sdf, feat = sdf_with_feature(params, cfg, x)

@@ -214,11 +214,11 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
             sdf = new_sdf
             # z_vals already == samples (sorted by construction)
         else:
-            merged = jnp.concatenate([z_vals, samples], axis=-1)
-            order = jnp.argsort(merged, axis=-1)
-            z_vals = jnp.take_along_axis(merged, order, axis=-1)
-            sdf = jnp.take_along_axis(
-                jnp.concatenate([sdf, new_sdf], axis=-1), order, axis=-1)
+            # one key+payload sort instead of argsort + two gathers
+            z_vals, sdf = jax.lax.sort(
+                (jnp.concatenate([z_vals, samples], axis=-1),
+                 jnp.concatenate([sdf, new_sdf], axis=-1)),
+                dimension=-1, num_keys=1)
 
         final = it == cfg.max_total_iters - 1
         if not final:
