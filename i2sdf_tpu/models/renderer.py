@@ -254,8 +254,17 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
         ray_dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
 
     returns_grad = cfg.use_normal or (not training) or cfg.rendering.mode == "idr"
-    sdf, feature_vectors, gradients = mlp.sdf_outputs(
-        params["implicit"], cfg.implicit, points_flat, returns_grad)
+    if not training and fused_sampler:
+        # eval never differentiates w.r.t. params: the fused
+        # forward+tangent kernel yields sdf/features/normals in ONE launch
+        from ..ops.pallas.fused_outputs import fused_sdf_outputs
+
+        sdf, feature_vectors, gradients = fused_sdf_outputs(
+            jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
+            points_flat)
+    else:
+        sdf, feature_vectors, gradients = mlp.sdf_outputs(
+            params["implicit"], cfg.implicit, points_flat, returns_grad)
 
     rgb_flat = mlp.rendering_net_apply(
         params["rendering"], cfg.rendering, points_flat, gradients,
