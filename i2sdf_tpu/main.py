@@ -49,6 +49,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--ckpt", default="last")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--spp", type=int, default=64,
+                   help="samples per pixel (editing/relight branch)")
+    p.add_argument("--device_ids", type=int, nargs="*", default=None,
+                   help="accepted for reference-CLI parity; device choice "
+                        "is jax.devices() on TPU")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_fused", action="store_true",
@@ -84,6 +89,9 @@ def resolve_exp_dir(args, conf) -> str:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/i2sdf_tpu_jax"))
     import jax
 
     from .config import load_cfg

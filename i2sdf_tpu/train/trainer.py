@@ -131,6 +131,16 @@ class ReconstructionTrainer:
         self.plot_freq = conf.train.get("plot_freq", 500)
         self.trace_bub_idx = conf.train.get("trace_bub_idx", -1)
 
+        if (self.train_data.use_lightmask
+                and conf.train.get("flip_light", False)):
+            # parity trainer/recon.py:105-107
+            self.train_data.lightmask_images = (
+                1.0 - self.train_data.lightmask_images)
+            if self.plot_data.lightmask_images is not None:
+                self.plot_data.lightmask_images = (
+                    1.0 - self.plot_data.lightmask_images)
+            self.device_data = self.train_data.to_device()
+
         step_kwargs = dict(pdf_prune=self.train_data.pdf_prune,
                            pdf_max=self.train_data.pdf_max,
                            pdf_criterion=self.pdf_criterion,

@@ -1,0 +1,40 @@
+"""HDR pipeline: linear<->sRGB transforms and hdr dataset loading."""
+
+import numpy as np
+import pytest
+
+from i2sdf_tpu.utils.imaging import linear_to_srgb, srgb_to_linear
+
+
+def test_srgb_roundtrip():
+    x = np.linspace(0.0, 1.0, 64).astype(np.float32)
+    y = np.asarray(srgb_to_linear(linear_to_srgb(x)))
+    np.testing.assert_allclose(y, x, atol=1e-5)
+
+
+def test_srgb_reference_points():
+    np.testing.assert_allclose(float(linear_to_srgb(0.0)), 0.0, atol=1e-7)
+    np.testing.assert_allclose(float(linear_to_srgb(1.0)), 1.0, atol=1e-6)
+    np.testing.assert_allclose(float(linear_to_srgb(0.002)),
+                               0.002 * 12.92, atol=1e-7)
+
+
+def test_hdr_scan_loads(tmp_path):
+    """An hdr/ directory of .npy linear images loads via is_hdr=True."""
+    from i2sdf_tpu.data import ReconData, generate_synthetic_scene
+
+    scan = generate_synthetic_scene(str(tmp_path / "demo"), n_images=3,
+                                    img_res=(16, 20))
+    import os
+    import shutil
+
+    hdr_dir = os.path.join(scan, "hdr")
+    os.makedirs(hdr_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        np.save(os.path.join(hdr_dir, f"{i:04d}.npy"),
+                rng.uniform(0, 4, (16, 20, 3)).astype(np.float32))
+    ds = ReconData("demo", scan_id=0, data_root=str(tmp_path), is_hdr=True)
+    assert ds.is_hdr
+    assert ds.rgb_images.shape == (3, 320, 3)
+    assert ds.rgb_images.max() > 1.5  # linear HDR values preserved
