@@ -199,7 +199,8 @@ def depth2pts_outside(ray_o, ray_d, depth, bounding_sphere: float):
 
 def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
                 training: bool, predict_only: bool = False,
-                sdf_fn_nograd=None, fused_sampler: bool = False) -> dict:
+                sdf_fn_nograd=None, fused_sampler: bool = False,
+                fused_train_grad: bool | None = None) -> dict:
     """Render a batch of rays; returns the reference's output dict.
 
     inputs: {"uv": (B, N, 2), "intrinsics": (B, 4, 4), "pose": (B, 4, 4)
@@ -207,7 +208,12 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
     `sdf_fn_nograd` optionally overrides the sampler's SDF evaluator;
     `fused_sampler=True` (static) uses the fused Pallas MLP kernel for
     the sampler's no-grad evaluations (TPU hot path, ~15x XLA).
+    `fused_train_grad` gates the custom-VJP fused forward on the
+    differentiated training path (measured slower than XLA's fwd/bwd
+    chain on v5e, so it defaults OFF; see docs/PERFORMANCE.md).
     """
+    if fused_train_grad is None:
+        fused_train_grad = False
     k_sampler, k_eik, k_jitter, k_cam = jax.random.split(key, 4)
 
     uv = inputs["uv"]
@@ -262,6 +268,13 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
         sdf, feature_vectors, gradients = fused_sdf_outputs(
             jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
             points_flat)
+    elif training and fused_train_grad and returns_grad:
+        # custom-VJP fused forward: differentiable w.r.t. params
+        # including through the spatial gradient (normal-map loss)
+        from ..ops.pallas.fused_grad import sdf_outputs_fused_grad
+
+        sdf, feature_vectors, gradients = sdf_outputs_fused_grad(
+            params["implicit"], cfg.implicit, points_flat)
     else:
         sdf, feature_vectors, gradients = mlp.sdf_outputs(
             params["implicit"], cfg.implicit, points_flat, returns_grad)
@@ -336,7 +349,14 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
         neighbors = eik_near + jax.random.uniform(
             k_jitter, eik_near.shape, minval=-0.005, maxval=0.005)
         all_pts = jnp.concatenate([eik_uniform, eik_near, neighbors], axis=0)
-        grad_theta = mlp.sdf_gradient(params["implicit"], cfg.implicit, all_pts)
+        if fused_train_grad:
+            from ..ops.pallas.fused_grad import sdf_outputs_fused_grad
+
+            grad_theta = sdf_outputs_fused_grad(
+                params["implicit"], cfg.implicit, all_pts)[2]
+        else:
+            grad_theta = mlp.sdf_gradient(
+                params["implicit"], cfg.implicit, all_pts)
         output["grad_theta"] = grad_theta[: n_eik + n_near]
         normals_pair = safe_normalize(grad_theta[n_eik:])
         output["diff_norm"] = safe_norm(

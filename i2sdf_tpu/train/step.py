@@ -38,7 +38,8 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
                     bubble_batch_size: int | None = None,
                     pdf_prune: float = 0.0, pdf_max: float | None = None,
                     pdf_criterion: str = "DEPTH",
-                    donate: bool = True, fused_sampler: bool | None = None):
+                    donate: bool = True, fused_sampler: bool | None = None,
+                    fused_train_grad: bool | None = None):
     """Build the jitted step.
 
     Signature of the returned fn (bubble=False):
@@ -51,6 +52,9 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
     """
     bubble_bs = bubble_batch_size or batch_size
     fused = _auto_fused(fused_sampler)
+    # the custom-VJP fused training forward measured SLOWER than XLA's
+    # fwd/bwd chain on v5e (20.3k vs 25.7k rays/s) — opt-in only
+    fused_grad = False if fused_train_grad is None else fused_train_grad
 
     def loss_and_metrics(params, data: DeviceArrays, key, weights):
         k_batch, k_bubble, k_render = jax.random.split(key, 3)
@@ -75,7 +79,8 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
                 lambda x: jax.lax.with_sharding_constraint(x, shard), inputs)
 
         out = renderer.render_rays(params, model_cfg, inputs, k_render,
-                                   training=True, fused_sampler=fused)
+                                   training=True, fused_sampler=fused,
+                                   fused_train_grad=fused_grad)
         terms = compute_losses(out, gt, weights)
         metrics = dict(terms)
         metrics["psnr"] = psnr_fn(out["rgb_values"],
