@@ -90,6 +90,27 @@ class CfgNode(dict):
             if isinstance(v, CfgNode):
                 v._set_immutable(flag)
 
+    # -- deprecated / renamed keys (parity cfgnode.py:259-308) -------------
+    def register_deprecated_key(self, key: str) -> None:
+        self.__dict__.setdefault("__deprecated_keys__", set()).add(key)
+
+    def register_renamed_key(self, old: str, new: str,
+                             message: str | None = None) -> None:
+        self.__dict__.setdefault("__renamed_keys__", {})[old] = (new, message)
+
+    def key_is_deprecated(self, key: str) -> bool:
+        return key in self.__dict__.get("__deprecated_keys__", set())
+
+    def key_is_renamed(self, key: str) -> bool:
+        return key in self.__dict__.get("__renamed_keys__", {})
+
+    def raise_key_rename_error(self, key: str) -> None:
+        new, message = self.__dict__["__renamed_keys__"][key]
+        msg = f"Config key '{key}' was renamed to '{new}'"
+        if message:
+            msg += f"; {message}"
+        raise KeyError(msg)
+
     # -- merging ----------------------------------------------------------
     def merge_from_file(self, path: str) -> None:
         with open(path, "r") as f:
@@ -103,6 +124,10 @@ class CfgNode(dict):
         if len(cfg_list) % 2 != 0:
             raise ValueError("Override list must have even length (key value ...)")
         for key, value in zip(cfg_list[0::2], cfg_list[1::2]):
+            if self.key_is_deprecated(key):
+                continue
+            if self.key_is_renamed(key):
+                self.raise_key_rename_error(key)
             parts = key.split(".")
             node = self
             for p in parts[:-1]:

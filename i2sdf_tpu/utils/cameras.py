@@ -202,6 +202,31 @@ def get_sphere_intersections(
     return jnp.clip(sphere_intersections, 0.0), mask
 
 
+def get_general_sphere_intersections(cam_loc, ray_directions, center, r):
+    """Ray/sphere intersections for an arbitrary-center sphere.
+
+    Fixed-shape version of `/root/reference/utils/rend_util.py:191-208`:
+    instead of boolean-indexed compaction, returns per-ray
+    (intersection points (N, 3), unit normals (N, 3), valid mask (N,))
+    with arbitrary values where invalid.
+    """
+    rel = cam_loc - center[None, :]
+    ray_cam_dot = jnp.sum(ray_directions * rel, axis=-1, keepdims=True)
+    under_sqrt = ray_cam_dot**2 - (
+        jnp.sum(rel**2, axis=-1, keepdims=True) - r**2)
+    has_hit = (under_sqrt >= 0).squeeze(-1)
+    sqrt_term = jnp.sqrt(jnp.maximum(under_sqrt, 0.0))
+    t_near = -sqrt_term - ray_cam_dot
+    t_far = sqrt_term - ray_cam_dot
+    front = (t_near > 0).squeeze(-1) & (t_far > 0).squeeze(-1)
+    valid = has_hit & front
+    normals_raw = rel + ray_directions * t_near
+    points = normals_raw + center[None, :]
+    norms = jnp.maximum(
+        jnp.linalg.norm(normals_raw, axis=-1, keepdims=True), 1e-8)
+    return points, normals_raw / norms, valid
+
+
 def add_depth_noise(key, depth, depth_mask, scale: float = 1.0):
     """Sensor-model depth-noise injection ablation.
 

@@ -104,3 +104,16 @@ def test_depth_to_world_roundtrip():
     np.testing.assert_allclose(w[0], [1.0, 2.0, 5.0], atol=1e-5)
     np.testing.assert_allclose(
         w[1], [1.0 + 0.1 * 4, 2.0 - 0.1 * 4, 3.0 + 4.0], atol=1e-4)
+
+
+def test_general_sphere_intersections():
+    center = jnp.array([1.0, 0.0, 0.0])
+    cam = jnp.array([[1.0, 0.0, -3.0], [10.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    pts, normals, valid = cameras.get_general_sphere_intersections(
+        cam, d, center, 1.0)
+    assert bool(valid[0]) and not bool(valid[1])
+    np.testing.assert_allclose(np.asarray(pts[0]), [1.0, 0.0, -1.0],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(normals[0]), [0.0, 0.0, -1.0],
+                               atol=1e-5)

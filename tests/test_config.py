@@ -55,3 +55,15 @@ def test_merge_from_file(tmp_path):
     assert base.train.lr == 2.0
     assert base.train.bs == 4
     assert base.extra.z == 1
+
+
+def test_deprecated_and_renamed_keys():
+    cfg = CfgNode({"train": {"lr": 1.0}})
+    cfg.register_deprecated_key("train.old_thing")
+    cfg.register_renamed_key("train.learn_rate", "train.lr")
+    assert cfg.key_is_deprecated("train.old_thing")
+    # deprecated keys are silently skipped on merge
+    cfg.merge_from_list(["train.old_thing", "5", "train.lr", "2.0"])
+    assert cfg.train.lr == 2.0
+    with pytest.raises(KeyError, match="renamed"):
+        cfg.merge_from_list(["train.learn_rate", "3.0"])

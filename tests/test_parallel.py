@@ -122,3 +122,21 @@ def test_graft_entry_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_eval_render():
+    from i2sdf_tpu.train.step import make_eval_render_fn
+
+    cfg, state, _, _ = setup()
+    mesh = make_mesh(8)
+    params = replicate_params(mesh, state.params)
+    render_image, _ = make_eval_render_fn(cfg, chunk_size=64, mesh=mesh,
+                                          fused_sampler=False)
+    K = jnp.eye(4).at[0, 0].set(10.0).at[1, 1].set(10.0) \
+        .at[0, 2].set(4.0).at[1, 2].set(4.0)
+    pose = jnp.eye(4).at[2, 3].set(-2.0)
+    jj, ii = np.meshgrid(np.arange(8), np.arange(8))
+    uv = jnp.asarray(np.stack([jj, ii], -1).reshape(-1, 2), jnp.float32)
+    out = render_image(params, uv, K, pose)
+    assert out["rgb_values"].shape == (64, 3)
+    assert bool(jnp.all(jnp.isfinite(out["rgb_values"])))
