@@ -170,10 +170,16 @@ def _make_bwd_kernel(cfg, emb_dim, n_layers, dims, out_cols, block_rows):
                 rho = r
             dzb = dz.astype(jnp.bfloat16)
             rhob = [x.astype(jnp.bfloat16) for x in rho]
-            dw = jnp.dot(h_in.T, dzb, preferred_element_type=jnp.float32)
+            # contract over rows via dimension_numbers — an explicit .T
+            # is a costly Mosaic relayout
+            def _atb(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            dw = _atb(h_in, dzb)
             for k in range(3):
-                dw = dw + jnp.dot(t_in[k].T, rhob[k],
-                                  preferred_element_type=jnp.float32)
+                dw = dw + _atb(t_in[k], rhob[k])
             db = jnp.sum(dz, axis=0, keepdims=True)
 
             @pl.when(first)
@@ -188,11 +194,16 @@ def _make_bwd_kernel(cfg, emb_dim, n_layers, dims, out_cols, block_rows):
 
             if layer == 0:
                 break
-            wtb = w.T.astype(jnp.bfloat16)
-            dh_full = jnp.dot(dzb, wtb, preferred_element_type=jnp.float32)
-            r_full = [jnp.dot(rhob[k], wtb,
-                              preferred_element_type=jnp.float32)
-                      for k in range(3)]
+
+            def _abt(a, b):
+                # a (BR, out) x b (in, out) -> (BR, in): contract over cols
+                return jax.lax.dot_general(
+                    a, b, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            wb = w.astype(jnp.bfloat16) if w.dtype != jnp.bfloat16 else w
+            dh_full = _abt(dzb, wb)
+            r_full = [_abt(rhob[k], wb) for k in range(3)]
             if layer in skip_in:
                 keep = dims[layer] - emb_dim
                 dh = dh_full[:, :keep] * inv_sqrt2
