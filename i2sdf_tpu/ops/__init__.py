@@ -1,3 +1,3 @@
-from . import compositing, sampling
+from . import activations, clustering, compositing, sampling
 
-__all__ = ["compositing", "sampling"]
+__all__ = ["activations", "clustering", "compositing", "sampling"]

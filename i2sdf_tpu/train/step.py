@@ -14,7 +14,6 @@ by XLA-inserted collectives over ICI (SURVEY.md §2c plan).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any
 
 import jax
 import jax.numpy as jnp
