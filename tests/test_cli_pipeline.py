@@ -147,3 +147,11 @@ def test_interpolate_mode(workdir, trained):
     frames = trained / "eval" / "interpolate" / "0000_0001"
     pngs = list(frames.glob("*.png"))
     assert len(pngs) == 3
+
+
+def test_resume_continues_from_checkpoint(workdir, trained):
+    """--resume restores the step counter and trains onward."""
+    proc = run_cli(workdir, "--version", "0", "--resume",
+                   "--max_steps", "70")
+    assert "Resumed from step 60" in proc.stdout
+    assert "Training complete" in proc.stdout

@@ -180,3 +180,31 @@ def test_depth2pts_outside_on_unit_sphere():
     p = np.asarray(pts)[0, 0]
     np.testing.assert_allclose(np.linalg.norm(p[:3]), 1.0, atol=1e-5)
     assert p[3] == 0.5
+
+
+def test_idr_rendering_mode():
+    """idr mode feeds points+normals+view into the radiance net
+    (reference mlp.py:212-213); gradients must flow in training."""
+    cfg = make_cfg({
+        "rendering_network": {
+            "mode": "idr", "d_in": 9, "d_out": 3, "dims": [32, 32],
+            "weight_norm": True, "embed_type": "positional", "multires": 2,
+        },
+    }, use_normal=False)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    out = jit_render(cfg)(params, make_inputs(), jax.random.PRNGKey(1),
+                          training=True)
+    rgb = np.asarray(out["rgb_values"])
+    assert rgb.shape == (6, 3) and np.isfinite(rgb).all()
+
+    gt = {"rgb": jnp.ones((6, 3)) * 0.5}
+    lw = LossConfig().dynamic_weights(0)
+
+    def loss_fn(p):
+        o = renderer.render_rays(p, cfg, make_inputs(),
+                                 jax.random.PRNGKey(1), training=True)
+        return compute_losses(o, gt, lw)["loss"]
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    g = grads["rendering"]["lin0"]["v"]
+    assert float(jnp.abs(g).max()) > 0
