@@ -236,7 +236,11 @@ class ReconstructionTrainer:
                 and lc.min_bubble_iter <= step < lc.max_bubble_iter)
         if want and not self.bubble_activated:
             self.bubble_activated = True
-            if not self.uniform_bubble:
+            if self.pdf is not None:
+                # mid-bubble resume: the checkpoint restored the live pdf
+                # (the reference silently re-initializes here — SURVEY §5)
+                print("[INFO] Bubble pdf restored from checkpoint")
+            elif not self.uniform_bubble:
                 print(f"[INFO] Initializing pointcloud PDF "
                       f"({self.pdf_criterion})")
                 self.initialize_bubble_pdf()
@@ -263,7 +267,20 @@ class ReconstructionTrainer:
         max_steps = max_steps or self.max_steps
         if resume:
             try:
-                self.state, bubble = self.ckpt.restore(self.state)
+                bubble_template = None
+                if self.train_data.use_bubble:
+                    n = len(self.train_data.pointcloud)
+                    bubble_template = {
+                        "pdf": jnp.zeros((n,), jnp.float32),
+                        "sample_count": jnp.zeros((n,), jnp.int32),
+                    }
+                try:
+                    self.state, bubble = self.ckpt.restore(
+                        self.state, bubble_template=bubble_template)
+                except ValueError:
+                    # checkpoint written outside the bubble window has no
+                    # bubble entry — restore the bare state
+                    self.state, bubble = self.ckpt.restore(self.state)
                 if bubble is not None:
                     self.pdf = bubble.get("pdf")
                     self.sample_count = bubble.get("sample_count")

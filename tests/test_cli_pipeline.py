@@ -155,3 +155,14 @@ def test_resume_continues_from_checkpoint(workdir, trained):
                    "--max_steps", "70")
     assert "Resumed from step 60" in proc.stdout
     assert "Training complete" in proc.stdout
+
+
+def test_mid_bubble_resume_restores_pdf(workdir):
+    """Stopping inside the bubble window and resuming must restore the
+    live pdf instead of re-initializing it (reference gap, SURVEY §5)."""
+    run_cli(workdir, "--version", "3", "--max_steps", "25")
+    proc = run_cli(workdir, "--version", "3", "--resume",
+                   "--max_steps", "45")
+    assert "Resumed from step 25" in proc.stdout
+    assert "Bubble pdf restored from checkpoint" in proc.stdout
+    assert "Initializing pointcloud PDF" not in proc.stdout
