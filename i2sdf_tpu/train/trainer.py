@@ -17,7 +17,6 @@ syncs (the reference pays a GPU sync per `self.log`).
 
 from __future__ import annotations
 
-import math
 import os
 import time
 
@@ -112,13 +111,15 @@ class ReconstructionTrainer:
                                self.model_cfg)
         self.max_steps = conf.train.get("steps", 200_000)
         n_images = self.train_data.n_images
-        epoch_steps = len(self.train_data) / conf.train.batch_size
-        nepochs = int(math.ceil(self.max_steps / epoch_steps))
-        decay_steps = nepochs * n_images  # parity trainer/recon.py:204-206
+        # LR decays by decay_rate over the WHOLE run (per optimizer step).
+        # The reference computes decay_steps = nepochs * n_images
+        # (trainer/recon.py:204-206) but Lightning steps ExponentialLR per
+        # EPOCH, so its LR barely moves (0.1^(nepochs/decay_steps) ~ 0.98
+        # over 200k steps) — we implement the documented intent instead.
         self.state, self.tx = create_train_state(
             params, learning_rate=conf.train.learning_rate,
             decay_rate=conf.train.get("sched_decay_rate", 0.1),
-            decay_steps=max(decay_steps, 1))
+            decay_steps=max(self.max_steps, 1))
 
         self.batch_size = conf.train.batch_size
         self.bubble_batch_size = conf.train.get("bubble_batch_size",
