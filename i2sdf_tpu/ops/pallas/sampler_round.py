@@ -91,6 +91,16 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
             return jnp.dot(x.astype(jnp.bfloat16), tri_strict,
                            preferred_element_type=jnp.float32)
 
+        def excl_exact(x):
+            # hi/lo split: ~f32-accurate prefix (a single bf16 pass can
+            # be locally non-monotone, breaking CDF brackets at u ~ 1)
+            hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = (x - hi).astype(jnp.bfloat16)
+            return (jnp.dot(hi.astype(jnp.bfloat16), tri_strict,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(lo, tri_strict,
+                              preferred_element_type=jnp.float32))
+
         def error_bound(beta_col):
             dens = _laplace(s, beta_col)
             e = jnp.where(is_last, 0.0, dists_m * dens)
@@ -138,7 +148,7 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
             pdf = jnp.where(is_last, 0.0, bound_opacity + add_tiny)
 
         pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
-        cdf = excl(pdf)  # cdf[t] = sum_{j<t} pdf[j]; cdf[0]=0, cdf[-1]~1
+        cdf = excl_exact(pdf)  # cdf[t] = sum_{j<t}; cdf[0]=0, cdf[-1]~1
 
         # --- gather-free inverse CDF -------------------------------------
         u = u_ref[:]  # (BR, N)

@@ -27,14 +27,19 @@ def prefix_sum(x: jnp.ndarray) -> jnp.ndarray:
         # (n, n) constant
         return jnp.cumsum(x, axis=-1)
     tri = jnp.triu(jnp.ones((n, n), jnp.float32))  # tri[j, t]=1 for t>=j
-    # DEFAULT precision: the mask matrix is exactly representable in
-    # bf16 and each f32 summand loses at most 1 bf16 rounding — measured
-    # numerically indistinguishable for transmittance while HIGHEST
-    # (6-pass emulation) is ~30x slower on v5e
-    return jax.lax.dot_general(
-        x, tri,
-        (((x.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    # hi/lo split: two DEFAULT-precision (bf16-input) matmuls recover
+    # ~f32 accuracy (the mask matrix is exact in bf16; the residual
+    # carries the dropped mantissa bits). A single bf16 pass can make
+    # the prefix locally non-monotone, which breaks CDF bracketing at
+    # u ~ 1. Still ~15x faster than XLA's native cumsum lowering.
+    def mm(a):
+        return jax.lax.dot_general(
+            a, tri, (((a.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = x - hi
+    return mm(hi) + mm(lo)
 
 
 def stratify(key, z_vals: jnp.ndarray) -> jnp.ndarray:

@@ -83,3 +83,17 @@ def test_full_sampler_with_pallas_round():
     frac_r = np.mean((zr > 1.3) & (zr < 1.7))
     assert abs(frac_k - frac_r) < 0.1
     np.testing.assert_allclose(zk.mean(), zr.mean(), atol=0.15)
+
+
+def test_kernel_cdf_edge_values():
+    """u=0 and u=1 must bracket like searchsorted (first bin / last bin)."""
+    z, sdf, beta, _ = _round_inputs(R=8, S=128)
+    u = jnp.concatenate([jnp.zeros((8, 4)), jnp.ones((8, 4))], axis=1)
+    s_ref, _ = round_update(CFG, z, sdf, beta, 0.1, u, True)
+    s_ker, _ = sampler_round_pallas(
+        z, sdf, beta, u, 0.1, beta_iters=CFG.beta_iters, eps=CFG.eps,
+        add_tiny=CFG.add_tiny, final=True, block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_ker), np.asarray(s_ref),
+                               atol=0.05)
+    # u=1 lands on (or at) the last bin
+    assert np.all(np.asarray(s_ker[:, 4:]) >= np.asarray(z[:, -2]).min())
