@@ -127,7 +127,12 @@ def refuse(verts, tris, poses, K, H, W, far_clip: float = 5.0,
     (parity mesh_util.py:90-115). Returns (verts, tris)."""
     lo = verts.min(0) - 3 * voxel_length
     hi = verts.max(0) + 3 * voxel_length
-    dims = np.minimum(np.ceil((hi - lo) / voxel_length).astype(int) + 1, 640)
+    # keep the volume under 640^3 by coarsening the voxel, NOT by
+    # clipping the region (clipping silently truncates the fused mesh)
+    max_extent = float((hi - lo).max())
+    if max_extent / voxel_length > 639:
+        voxel_length = max_extent / 639.0
+    dims = np.ceil((hi - lo) / voxel_length).astype(int) + 1
     vol = native.TSDFVolume(origin=lo, dims=dims, voxel_size=voxel_length,
                             sdf_trunc=3 * voxel_length, depth_max=far_clip)
     for pose in poses:
