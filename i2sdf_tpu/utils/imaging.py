@@ -177,4 +177,6 @@ def ssim(img1, img2, max_val: float = 1.0):
 
     num = (2 * mu1_mu2 + c1) * (2 * sigma12 + c2)
     den = (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
-    return jnp.mean(num / den)
+    # f32 rounding on near-identical images can push per-window values
+    # epsilon past 1; SSIM is bounded by 1
+    return jnp.mean(jnp.clip(num / den, -1.0, 1.0))
