@@ -28,7 +28,7 @@ BASELINE_RAYS_PER_SEC = 6400.0  # estimated A6000 reference (see docstring)
 def main():
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/i2sdf_tpu_jax"))
+        os.path.expanduser("~/.jax_cache"))
     import jax
     import jax.numpy as jnp
 

@@ -91,7 +91,7 @@ def main(argv=None) -> int:
 
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/i2sdf_tpu_jax"))
+        os.path.expanduser("~/.jax_cache"))
     import jax
 
     from .config import load_cfg
