@@ -73,3 +73,31 @@ def test_relight_video_poses(scene):
     assert pose.shape == (4, 4)
     np.testing.assert_allclose(pose[:3, :3] @ pose[:3, :3].T, np.eye(3),
                                atol=1e-5)
+
+
+def test_plotdata_val_dir(scene, tmp_path):
+    """is_val loads held-out cameras from val/ with val_mat_%d
+    (parity eval_dataset.py:44-70)."""
+    import os
+    import shutil
+
+    import cv2
+
+    scan = os.path.join(scene, "demo", "scan0")
+    val_dir = os.path.join(scan, "val")
+    os.makedirs(val_dir, exist_ok=True)
+    cams = dict(np.load(os.path.join(scan, "cameras_normalize.npz")))
+    # two held-out views: reuse training world mats as val mats
+    for i in range(2):
+        cams[f"val_mat_{i}"] = cams[f"world_mat_{i + 1}"]
+        src = os.path.join(scan, "image", f"{i + 1:04d}.png")
+        shutil.copy(src, os.path.join(val_dir, f"{i:04d}.png"))
+    np.savez(os.path.join(scan, "cameras_normalize.npz"), **cams)
+
+    pd = PlotData("demo", data_root=scene, is_val=True, plot_nimgs=-1)
+    assert pd.n_images == 2
+    uv, K, pose, rgb = pd.image_inputs(0)
+    assert rgb.shape[0] == pd.total_pixels
+    # pose is a valid rotation
+    R = pose[:3, :3]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
