@@ -67,8 +67,21 @@ def linear_weight(p: Params) -> jnp.ndarray:
     return p["w"]
 
 
-def linear_apply(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ linear_weight(p) + p["b"]
+def linear_apply(p: Params, x: jnp.ndarray,
+                 compute_dtype=None) -> jnp.ndarray:
+    """x @ W + b. With compute_dtype=bfloat16 the matmul operands are
+    stored bf16 (activations between layers round-trip HBM at half the
+    f32 traffic — the training chain is HBM-bound) while accumulation
+    and the bias add stay f32 via preferred_element_type. On TPU the MXU
+    multiplies in bf16 under DEFAULT precision regardless, so this
+    changes memory traffic, not the arithmetic regime (same as the
+    reference's TF32 setting, main_recon.py:61)."""
+    w = linear_weight(p)
+    if compute_dtype is not None and compute_dtype != jnp.float32:
+        z = jax.lax.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                        preferred_element_type=jnp.float32)
+        return z + p["b"]
+    return x @ w + p["b"]
 
 
 def softplus_beta(x, beta: float = 100.0):
@@ -105,6 +118,11 @@ class ImplicitNetConfig:
     multires: int = 6
     sphere_scale: float = 1.0
     output_activation: str | None = None
+    compute_dtype: str = "float32"  # "bfloat16": bf16 matmul operands,
+    # f32 accumulation (HBM-bound training chain; see linear_apply)
+
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def layer_dims(self) -> list[int]:
         dims = [self.d_in] + list(self.dims) + [self.d_out + self.feature_vector_size]
@@ -183,10 +201,11 @@ def implicit_net_apply(params: Params, cfg: ImplicitNetConfig,
     dims = cfg.layer_dims()
     n_layers = len(dims)
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
+    dtype = cfg._dtype()
     for layer in range(n_layers - 1):
         if layer in cfg.skip_in:
             h = jnp.concatenate([h, inp], axis=-1) * inv_sqrt2
-        h = linear_apply(params[f"lin{layer}"], h)
+        h = linear_apply(params[f"lin{layer}"], h, compute_dtype=dtype)
         if layer < n_layers - 2:
             h = softplus_beta(h, 100.0)
     if cfg.output_activation is not None:
@@ -273,6 +292,10 @@ class RenderingNetConfig:
     multires: int = 4
     embed_point_multires: int | None = None
     output_activation: str = "sigmoid"
+    compute_dtype: str = "float32"
+
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     def layer_dims(self) -> list[int]:
         d0 = self.d_in + self.feature_vector_size
@@ -332,8 +355,9 @@ def rendering_net_apply(params: Params, cfg: RenderingNetConfig,
         h = jnp.concatenate([view_dirs, feature_vectors], axis=-1)
 
     n_layers = len(cfg.layer_dims())
+    dtype = cfg._dtype()
     for layer in range(n_layers - 1):
-        h = linear_apply(params[f"lin{layer}"], h)
+        h = linear_apply(params[f"lin{layer}"], h, compute_dtype=dtype)
         if layer < n_layers - 2:
             h = jax.nn.relu(h)
     return _OUTPUT_ACTIVATIONS[cfg.output_activation](h)

@@ -53,6 +53,13 @@ class I2SDFConfig:
         `/root/reference/config/synthetic.yml:32-75`)."""
         fvs = conf.feature_vector_size
         sphere = conf.get("scene_bounding_sphere", 1.0)
+        # bf16 matmul operands on TPU (the training chain is HBM-bound;
+        # the MXU multiplies in bf16 under DEFAULT precision anyway —
+        # counterpart of the reference's TF32 main_recon.py:61)
+        cdt = conf.get("compute_dtype", "auto")
+        if cdt == "auto":
+            cdt = ("bfloat16" if jax.default_backend() == "tpu"
+                   else "float32")
 
         imp = conf.implicit_network
         implicit = ImplicitNetConfig(
@@ -68,6 +75,7 @@ class I2SDFConfig:
             embed_type=imp.get("embed_type", None),
             multires=imp.get("multires", 6),
             sphere_scale=imp.get("sphere_scale", 1.0),
+            compute_dtype=cdt,
         )
         ren = conf.rendering_network
         rendering = RenderingNetConfig(
@@ -79,6 +87,7 @@ class I2SDFConfig:
             weight_norm=ren.get("weight_norm", True),
             embed_type=ren.get("embed_type", None),
             multires=ren.get("multires", 4),
+            compute_dtype=cdt,
         )
         light = None
         if "light_network" in conf:
@@ -94,6 +103,7 @@ class I2SDFConfig:
                 weight_norm=ln.get("weight_norm", True),
                 embed_type=None,
                 output_activation="sigmoid",
+                compute_dtype=cdt,
             )
         bg_implicit = bg_rendering = None
         if "bg_network" in conf:
@@ -111,6 +121,7 @@ class I2SDFConfig:
                 weight_norm=bgi.get("weight_norm", True),
                 embed_type=bgi.get("embed_type", None),
                 multires=bgi.get("multires", 6),
+                compute_dtype=cdt,
             )
             bgr = bg.rendering_network
             bg_rendering = RenderingNetConfig(
@@ -122,6 +133,7 @@ class I2SDFConfig:
                 weight_norm=bgr.get("weight_norm", True),
                 embed_type=bgr.get("embed_type", None),
                 multires=bgr.get("multires", 4),
+                compute_dtype=cdt,
             )
         rs = conf.ray_sampler
         sampler = SamplerConfig(

@@ -31,11 +31,10 @@ def make_lr_schedule(learning_rate: float, decay_rate: float,
 def make_optimizer(learning_rate: float = 5e-4, decay_rate: float = 0.1,
                    decay_steps: int = 200_000) -> optax.GradientTransformation:
     schedule = make_lr_schedule(learning_rate, decay_rate, decay_steps)
-    # optax.flatten: run Adam over ONE concatenated vector instead of
-    # ~33 leaves — on this TPU stack per-op launch latency dominates
-    # small ops, so collapsing the update to a handful of fused ops
-    # saves real step time
-    return optax.flatten(optax.adam(schedule, eps=1e-15))
+    # plain per-leaf Adam: optax.flatten measured as a NO-OP-to-negative
+    # on v5e (XLA already fuses the whole update into the step program;
+    # see docs/PERFORMANCE.md "Negative results")
+    return optax.adam(schedule, eps=1e-15)
 
 
 def create_train_state(params, learning_rate: float = 5e-4,

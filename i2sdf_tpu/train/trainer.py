@@ -109,6 +109,24 @@ class ReconstructionTrainer:
         self.model_cfg = renderer.I2SDFConfig.from_cfgnode(model_conf)
         params = renderer.init(jax.random.PRNGKey(conf.get("seed", 42)),
                                self.model_cfg)
+
+        # multi-chip data parallelism is the default on a multi-device
+        # slice: params replicated, ray batches sharded over 'data',
+        # gradients psum'd over ICI (SURVEY §2c; the reference is
+        # single-GPU only, main_recon.py:56-60)
+        self.mesh = None
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            from ..parallel import make_mesh, replicate_params
+
+            if conf.train.batch_size % n_dev != 0:
+                raise ValueError(
+                    f"train.batch_size={conf.train.batch_size} must be "
+                    f"divisible by the {n_dev} devices of this slice")
+            self.mesh = make_mesh()
+            params = replicate_params(self.mesh, params)
+            print(f"[INFO] Data-parallel over {n_dev} "
+                  f"{jax.devices()[0].platform} devices")
         self.max_steps = conf.train.get("steps", 200_000)
         n_images = self.train_data.n_images
         # LR decays by decay_rate over the WHOLE run (per optimizer step).
@@ -145,14 +163,14 @@ class ReconstructionTrainer:
         step_kwargs = dict(pdf_prune=self.train_data.pdf_prune,
                            pdf_max=self.train_data.pdf_max,
                            pdf_criterion=self.pdf_criterion,
-                           fused_sampler=fused_sampler)
+                           fused_sampler=fused_sampler, mesh=self.mesh)
         self._step_plain = make_train_step(
             self.model_cfg, self.tx, self.batch_size, **step_kwargs)
         self._step_bubble = None  # built lazily at bubble activation
         self._step_kwargs = step_kwargs
         self.render_image, self._render_chunk = make_eval_render_fn(
             self.model_cfg, chunk_size=self.split_n_pixels,
-            fused_sampler=fused_sampler)
+            fused_sampler=fused_sampler, mesh=self.mesh)
 
         # bubble state (device arrays when active)
         self.bubble_activated = False
@@ -183,6 +201,14 @@ class ReconstructionTrainer:
                             exist_ok=True)
         print(f"[INFO] Finish loading data. Data-set size: {n_images}")
 
+    def _rep(self, tree):
+        """Replicate device state across the mesh (no-op single-chip)."""
+        if self.mesh is None or tree is None:
+            return tree
+        from ..parallel import replicate_params
+
+        return replicate_params(self.mesh, tree)
+
     # -- bubble subsystem ---------------------------------------------------
 
     def initialize_bubble_pdf(self) -> None:
@@ -208,8 +234,8 @@ class ReconstructionTrainer:
             links = data.pointlinks[i * ds.total_pixels:(i + 1)
                                     * ds.total_pixels]
             pdf = pdf.at[links].set(err, mode="drop")
-        self.pdf = pdf
-        self.sample_count = jnp.zeros((n_points,), jnp.int32)
+        self.pdf = self._rep(pdf)
+        self.sample_count = self._rep(jnp.zeros((n_points,), jnp.int32))
         np.save(os.path.join(self.exp_dir, "checkpoints", "pdf.npy"),
                 np.asarray(pdf))
         nz = int(jnp.count_nonzero(pdf))
@@ -248,8 +274,8 @@ class ReconstructionTrainer:
             else:
                 n = len(self.train_data.pointcloud)
                 print("[INFO] Ablation: uniform bubble sampling")
-                self.pdf = jnp.ones((n,), jnp.float32)
-                self.sample_count = jnp.zeros((n,), jnp.int32)
+                self.pdf = self._rep(jnp.ones((n,), jnp.float32))
+                self.sample_count = self._rep(jnp.zeros((n,), jnp.int32))
             if self._step_bubble is None:
                 self._step_bubble = make_train_step(
                     self.model_cfg, self.tx, self.batch_size, bubble=True,
@@ -283,8 +309,10 @@ class ReconstructionTrainer:
                     # bubble entry — restore the bare state
                     self.state, bubble = self.ckpt.restore(self.state)
                 if bubble is not None:
-                    self.pdf = bubble.get("pdf")
-                    self.sample_count = bubble.get("sample_count")
+                    self.pdf = self._rep(bubble.get("pdf"))
+                    self.sample_count = self._rep(bubble.get("sample_count"))
+                # restored arrays land on one device; re-replicate for DP
+                self.state = self._rep(self.state)
                 print(f"[INFO] Resumed from step {int(self.state.step)}")
             except FileNotFoundError:
                 print("[INFO] No checkpoint found, starting fresh")

@@ -78,15 +78,18 @@ def test_skip_connection_shapes():
 
 
 def test_sdf_gradient_matches_finite_difference():
-    params = implicit_net_init(jax.random.PRNGKey(0), SMALL)
-    x = jax.random.normal(jax.random.PRNGKey(2), (4, 3)) * 0.5
-    g = np.asarray(sdf_gradient(params, SMALL, x))
-    eps = 1e-3
-    for i in range(3):
-        dx = jnp.zeros((1, 3)).at[0, i].set(eps)
-        fd = (np.asarray(sdf_vals(params, SMALL, x + dx))
-              - np.asarray(sdf_vals(params, SMALL, x - dx))) / (2 * eps)
-        np.testing.assert_allclose(g[:, i], fd[:, 0], atol=5e-3)
+    # central differences with eps=1e-3 are swamped by bf16 matmul noise
+    # on TPU backends — pin f32 matmuls for this comparison
+    with jax.default_matmul_precision("float32"):
+        params = implicit_net_init(jax.random.PRNGKey(0), SMALL)
+        x = jax.random.normal(jax.random.PRNGKey(2), (4, 3)) * 0.5
+        g = np.asarray(sdf_gradient(params, SMALL, x))
+        eps = 1e-3
+        for i in range(3):
+            dx = jnp.zeros((1, 3)).at[0, i].set(eps)
+            fd = (np.asarray(sdf_vals(params, SMALL, x + dx))
+                  - np.asarray(sdf_vals(params, SMALL, x - dx))) / (2 * eps)
+            np.testing.assert_allclose(g[:, i], fd[:, 0], atol=5e-3)
 
 
 def test_sdf_outputs_consistency():

@@ -71,10 +71,12 @@ def setup():
     return cfg, state, tx, w
 
 
+@pytest.mark.multidevice
 def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.multidevice
 def test_sharded_step_matches_single_device():
     cfg, state, tx, w = setup()
     data = make_data()
@@ -100,6 +102,7 @@ def test_sharded_step_matches_single_device():
                                    rtol=5e-4, atol=5e-6)
 
 
+@pytest.mark.multidevice
 def test_sharded_multi_step_stays_finite():
     cfg, state, tx, w = setup()
     data = make_data()
@@ -114,6 +117,47 @@ def test_sharded_multi_step_stays_finite():
     assert int(state.step) == 5
 
 
+@pytest.mark.multidevice
+def test_sharded_bubble_step_matches_single_device():
+    """The bubble path under DP: (P,) pdf replicated, batch (and the
+    gathered pointcloud rows) sharded; the scatter update and sample
+    counts must match single-device numerics."""
+    cfg, state, tx, w = setup()
+    data = make_data()
+    rng = np.random.default_rng(1)
+    P = 50
+    data = data._replace(
+        pointcloud=jnp.asarray(rng.uniform(-1, 1, (P, 3)), jnp.float32),
+        pointlinks=jnp.asarray(rng.integers(-1, P, size=(2 * 64,)),
+                               jnp.int32))
+    w = LossConfig(eikonal_weight=0.1, depth_weight=0.1, bubble_weight=0.5,
+                   min_bubble_iter=0, max_bubble_iter=10
+                   ).dynamic_weights(0)
+    pdf0 = jnp.asarray(rng.uniform(0.1, 1.0, (P,)), jnp.float32)
+    sc0 = jnp.zeros((P,), jnp.int32)
+    key = jax.random.PRNGKey(5)
+    kwargs = dict(batch_size=32, bubble=True, pdf_prune=0.05, pdf_max=0.2,
+                  donate=False)
+
+    step1 = make_train_step(cfg, tx, **kwargs)
+    s1, m1, pdf1, sc1 = step1(state, data, key, w, pdf0, sc0)
+
+    mesh = make_mesh(8)
+    state_r = state._replace(params=replicate_params(mesh, state.params))
+    step8 = make_train_step(cfg, tx, mesh=mesh, **kwargs)
+    s8, m8, pdf8, sc8 = step8(state_r, data, key, w,
+                              replicate_params(mesh, pdf0),
+                              replicate_params(mesh, sc0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(m1["bubble_loss"]),
+                               float(m8["bubble_loss"]), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(pdf1), np.asarray(pdf8),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(sc1), np.asarray(sc8))
+
+
 def test_graft_entry_dryrun():
     import importlib.util
 
@@ -124,6 +168,7 @@ def test_graft_entry_dryrun():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.multidevice
 def test_sharded_eval_render():
     from i2sdf_tpu.train.step import make_eval_render_fn
 
