@@ -1,0 +1,136 @@
+"""LPIPS perceptual metric in pure JAX (AlexNet-LPIPS architecture).
+
+Parity target: the reference reports per-image and mean LPIPS next to
+PSNR/SSIM (`/root/reference/model/trainer/recon.py:16-21`,
+`model/eval/recon.py:17-19,197-203`) via torchmetrics' AlexNet LPIPS.
+
+Weight sourcing, in priority order:
+
+1. Vendored weights at `i2sdf_tpu/eval/lpips_weights.npz` — the real
+   AlexNet-LPIPS parameters converted once with
+   `scripts/convert_lpips_weights.py` on any machine that can download
+   them. Keys: ``conv{0..4}`` (HWIO kernels), ``bias{0..4}``,
+   ``lin{0..4}`` (per-channel LPIPS calibration weights).
+2. Deterministic random features ("lpips-rf"): He-normal conv stacks
+   with a fixed seed and uniform linear heads. Random-weight CNN
+   feature distances are an established perceptual proxy (Amir & Weiss,
+   "Understanding and Simplifying Perceptual Distances", CVPR 2021);
+   the score is stable across runs/machines (fixed PRNG seed) but NOT
+   numerically comparable to published LPIPS values — consumers are
+   told via the metric name and a loud startup warning.
+
+The network is the AlexNet feature geometry (5 ReLU stages); distances
+are channel-unit-normalized squared feature differences, per-channel
+linearly weighted, spatially averaged, summed over stages — exactly the
+LPIPS formula, so dropping in real weights makes scores match
+torchmetrics to float tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "lpips_weights.npz")
+
+# AlexNet feature stages: (kernel, stride, pad, in_ch, out_ch, pool_first)
+_STAGES = (
+    (11, 4, 2, 3, 64, False),
+    (5, 1, 2, 64, 192, True),
+    (3, 1, 1, 192, 384, True),
+    (3, 1, 1, 384, 256, False),
+    (3, 1, 1, 256, 256, False),
+)
+
+# ImageNet scaling constants from the LPIPS reference implementation
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _random_params(seed: int = 1234) -> dict:
+    """Deterministic He-normal conv stack + uniform linear heads."""
+    key = jax.random.PRNGKey(seed)
+    params = {}
+    for i, (k, _, _, cin, cout, _) in enumerate(_STAGES):
+        key, sub = jax.random.split(key)
+        std = float(np.sqrt(2.0 / (k * k * cin)))
+        params[f"conv{i}"] = jax.random.normal(
+            sub, (k, k, cin, cout), jnp.float32) * std
+        params[f"bias{i}"] = jnp.zeros((cout,), jnp.float32)
+        params[f"lin{i}"] = jnp.full((cout,), 1.0 / cout, jnp.float32)
+    return params
+
+
+def load_params() -> tuple[dict, str]:
+    """(params, provenance): vendored real weights or the RF fallback."""
+    if os.path.exists(_WEIGHTS_PATH):
+        raw = np.load(_WEIGHTS_PATH)
+        params = {k: jnp.asarray(raw[k]) for k in raw.files}
+        return params, "lpips"
+    return _random_params(), "lpips-rf"
+
+
+def _maxpool(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID")
+
+
+def _features(params: dict, x: jnp.ndarray) -> list[jnp.ndarray]:
+    """x: (N, H, W, 3) in [-1, 1] -> list of 5 post-ReLU feature maps."""
+    h = (x - _SHIFT) / _SCALE
+    feats = []
+    for i, (k, stride, pad, _, _, pool_first) in enumerate(_STAGES):
+        if pool_first:
+            h = _maxpool(h)
+        h = jax.lax.conv_general_dilated(
+            h, params[f"conv{i}"], (stride, stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = jax.nn.relu(h + params[f"bias{i}"])
+        feats.append(h)
+    return feats
+
+
+def _unit_normalize(f, eps=1e-10):
+    return f / jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True) + eps)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lpips_distance(params: dict, a: jnp.ndarray, b: jnp.ndarray):
+    """a, b: (N, H, W, 3) in [-1, 1]; returns (N,) LPIPS distances."""
+    fa = _features(params, a)
+    fb = _features(params, b)
+    total = 0.0
+    for i, (xa, xb) in enumerate(zip(fa, fb)):
+        d = (_unit_normalize(xa) - _unit_normalize(xb)) ** 2
+        total = total + jnp.mean(
+            jnp.sum(d * params[f"lin{i}"], axis=-1), axis=(1, 2))
+    return total
+
+
+def make_lpips():
+    """Returns (fn(pred_hwc01, gt_hwc01) -> float, provenance_name).
+
+    Inputs are HWC float images in [0, 1] (the trainer/eval convention);
+    internally rescaled to the LPIPS [-1, 1] domain.
+    """
+    params, name = load_params()
+    if name == "lpips-rf":
+        print(
+            "[WARN] LPIPS: no vendored AlexNet weights at "
+            f"{_WEIGHTS_PATH}; using the deterministic random-feature "
+            "proxy 'lpips-rf' (stable across runs, NOT comparable to "
+            "published LPIPS numbers — see scripts/convert_lpips_weights.py "
+            "to install real weights)")
+
+    def compute(pred, gt):
+        a = jnp.asarray(pred, jnp.float32)[None] * 2.0 - 1.0
+        b = jnp.asarray(gt, jnp.float32)[None] * 2.0 - 1.0
+        return float(lpips_distance(params, a, b)[0])
+
+    compute.name = name
+    return compute

@@ -79,6 +79,10 @@ def run_render_eval(params, model_cfg, conf, exp_dir: str,
     means = {k: float(np.mean([r[k] for r in rows])) for k in keys}
     with open(os.path.join(out_dir, "metrics.txt"), "w") as f:
         f.write(f"# IMAGE RESOLUTION {pd.img_res}\n")
+        if lp is not None:
+            f.write(f"# LPIPS implementation: {getattr(lp, 'name', '?')}"
+                    " (lpips-rf = deterministic random-feature proxy,"
+                    " not comparable to published LPIPS)\n")
         for i, r in enumerate(rows):
             f.write(f"[{i:04d}] " + " ".join(
                 f"[{k.upper()}]{v:.2f}" for k, v in r.items()) + "\n")

@@ -274,18 +274,21 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
     returns_grad = cfg.use_normal or (not training) or cfg.rendering.mode == "idr"
     if not training and fused_sampler:
         # eval never differentiates w.r.t. params: the fused
-        # forward+tangent kernel yields sdf/features/normals in ONE launch
-        from ..ops.pallas.fused_outputs import fused_sdf_outputs
+        # forward+reverse-sweep kernel yields sdf/features/normals in
+        # ONE launch (5.2 ms vs 11.5 ms tangent-stream v1 at 155k pts)
+        from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
 
-        sdf, feature_vectors, gradients = fused_sdf_outputs(
+        sdf, feature_vectors, gradients = sdf_outputs_fused_rev(
             jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
-            points_flat)
+            points_flat, block_rows=512)
     elif training and fused_train_grad and returns_grad:
         # custom-VJP fused forward: differentiable w.r.t. params
-        # including through the spatial gradient (normal-map loss)
-        from ..ops.pallas.fused_grad import sdf_outputs_fused_grad
+        # including through the spatial gradient (normal-map loss).
+        # Reverse-sweep v2: 16.5 ms vs XLA's 31.6 ms for the full
+        # fwd+bwd chain at 155k points on v5e (docs/PERFORMANCE.md)
+        from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
 
-        sdf, feature_vectors, gradients = sdf_outputs_fused_grad(
+        sdf, feature_vectors, gradients = sdf_outputs_fused_rev(
             params["implicit"], cfg.implicit, points_flat)
     else:
         sdf, feature_vectors, gradients = mlp.sdf_outputs(

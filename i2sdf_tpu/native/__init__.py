@@ -17,7 +17,8 @@ import numpy as np
 
 _SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
 _LIB_PATH = os.path.join(os.path.dirname(__file__), "libi2sdf_native.so")
-_SOURCES = ["marching.cpp", "kdtree.cpp", "tsdf.cpp", "raster.cpp"]
+_SOURCES = ["marching.cpp", "kdtree.cpp", "tsdf.cpp", "raster.cpp",
+            "exr.cpp"]
 
 _lock = threading.Lock()
 _lib = None
@@ -26,7 +27,7 @@ _lib = None
 def _build() -> None:
     srcs = [os.path.join(_SRC_DIR, s) for s in _SOURCES]
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB_PATH] + srcs
+           "-o", _LIB_PATH] + srcs + ["-lz"]
     subprocess.run(cmd, check=True, capture_output=True, text=True)
 
 
@@ -84,6 +85,17 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.i2sdf_rasterize_depth.argtypes = [
         c_fp, ctypes.c_int32, c_ip, ctypes.c_int32, c_fp, c_fp,
         ctypes.c_int, ctypes.c_int, c_fp,
+    ]
+
+    lib.i2sdf_exr_read.restype = ctypes.c_int
+    lib.i2sdf_exr_read.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(c_fp), c_ip, c_ip, c_ip,
+        ctypes.c_char_p,
+    ]
+    lib.i2sdf_exr_write.restype = ctypes.c_int
+    lib.i2sdf_exr_write.argtypes = [
+        ctypes.c_char_p, c_fp, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
     ]
 
 
@@ -186,6 +198,61 @@ class TSDFVolume:
         grid = grid.reshape(self.dims)
         return marching_cubes(grid, 0.0, origin=self.origin,
                               spacing=(self.voxel_size,) * 3)
+
+
+def exr_read(path: str):
+    """Read a scanline EXR (NONE/ZIP/ZIPS, HALF/FLOAT/UINT).
+
+    Returns (data, names): data float32 (H, W) for single-channel files
+    or (H, W, C) in canonical order — RGB(A) when the file has R/G/B
+    channels, else the file's (alphabetical) channel order; names is the
+    matching list of channel names. Replaces the reference's cv2 EXR
+    loads (`/root/reference/utils/rend_util.py:25-54`).
+    """
+    lib = get_lib()
+    data_p = ctypes.POINTER(ctypes.c_float)()
+    h = ctypes.c_int32()
+    w = ctypes.c_int32()
+    c = ctypes.c_int32()
+    names_buf = ctypes.create_string_buffer(256)
+    rc = lib.i2sdf_exr_read(path.encode(), ctypes.byref(data_p),
+                            ctypes.byref(h), ctypes.byref(w),
+                            ctypes.byref(c), names_buf)
+    if rc != 0:
+        raise IOError(f"EXR read failed (rc={rc}): {path}")
+    try:
+        data = np.ctypeslib.as_array(
+            data_p, (h.value, w.value, c.value)).copy()
+    finally:
+        lib.i2sdf_free(data_p)
+    names = names_buf.value.decode().split(";")
+    canonical = ["R", "G", "B", "A"]
+    if set(names) <= set(canonical) and len(names) > 1:
+        order = sorted(range(len(names)),
+                       key=lambda i: canonical.index(names[i]))
+        data = data[:, :, order]
+        names = [names[i] for i in order]
+    if c.value == 1:
+        return data[:, :, 0], names
+    return data, names
+
+
+def exr_write(path: str, data, names=None, half: bool = True,
+              compression: str = "zip") -> None:
+    """Write float32 (H, W) or (H, W, C) data as a scanline EXR."""
+    lib = get_lib()
+    data = _as_f32(data)
+    if data.ndim == 2:
+        data = data[:, :, None]
+    h, w, c = data.shape
+    if names is None:
+        names = (["Y"] if c == 1 else ["R", "G", "B", "A"][:c]
+                 if c <= 4 else [f"C{i}" for i in range(c)])
+    comp = {"none": 0, "zip": 3}[compression]
+    rc = lib.i2sdf_exr_write(path.encode(), _fp(data), h, w, c,
+                             ";".join(names).encode(), int(half), comp)
+    if rc != 0:
+        raise IOError(f"EXR write failed (rc={rc}): {path}")
 
 
 def rasterize_depth(verts, tris, K, w2c, h: int, w: int) -> np.ndarray:

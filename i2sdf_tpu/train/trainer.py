@@ -37,8 +37,12 @@ from .step import make_eval_render_fn, make_train_step
 
 
 def lpips_fn():
-    """Optional LPIPS via torch-cpu torchmetrics; gated on pretrained
-    weights being available locally (zero-egress environments lack them)."""
+    """LPIPS (parity model/eval/recon.py:17-19,197-203). Tries the
+    torch-cpu torchmetrics AlexNet first (bit-exact published metric);
+    otherwise the pure-JAX implementation in `eval/lpips.py`, which uses
+    vendored real weights when present and a loudly-announced
+    deterministic random-feature proxy otherwise. Never silently absent:
+    the returned callable carries a `.name` provenance tag."""
     try:
         import torch
         from torchmetrics.image.lpip import (
@@ -55,9 +59,14 @@ def lpips_fn():
                 return float(metric(p.clamp(0, 1) * 2 - 1,
                                     g.clamp(0, 1) * 2 - 1))
 
+        compute.name = "lpips"
         return compute
-    except Exception:
-        return None
+    except Exception as exc:
+        print(f"[WARN] torchmetrics LPIPS unavailable ({exc!r}); "
+              "falling back to the JAX implementation")
+        from ..eval.lpips import make_lpips
+
+        return make_lpips()
 
 
 class ReconstructionTrainer:

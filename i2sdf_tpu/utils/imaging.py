@@ -1,9 +1,11 @@
 """Image IO, color transforms, and simple metrics.
 
-Host-side IO uses OpenCV/imageio (as the reference does,
-`/root/reference/utils/rend_util.py:25-54`); EXR support is gated on the
-OpenCV build and `.npy` files are accepted everywhere an EXR is, so the
-pipeline runs on minimal images too. Device math (PSNR, sRGB) is JAX.
+Host-side IO uses the native C++ EXR module (`native/src/exr.cpp`) plus
+OpenCV/imageio (matching the reference's loaders,
+`/root/reference/utils/rend_util.py:25-54`); the reference's released
+EXR depth/normal/hdr datasets load without conversion even when the
+OpenCV build lacks EXR. `.npy` files are accepted everywhere an EXR is.
+Device math (PSNR, SSIM, sRGB) is JAX.
 """
 
 from __future__ import annotations
@@ -31,9 +33,28 @@ def glob_imgs(path: str) -> list[str]:
     return sorted(out)
 
 
+def _exr_read_rgbish(path: str) -> np.ndarray:
+    """Native EXR read returning channels in BGR-like order for drop-in
+    compatibility with cv2.imread callers (reference convention)."""
+    from ..native import exr_read
+
+    data, names = exr_read(path)
+    if data.ndim == 3 and set(names[:3]) == {"R", "G", "B"}:
+        data = data[:, :, ::-1].copy()  # canonical RGB -> cv2-style BGR
+    return data
+
+
 def _read_any(path: str, flags=cv2.IMREAD_UNCHANGED) -> np.ndarray:
     if path.endswith(".npy"):
         return np.load(path)
+    if path.endswith(".exr"):
+        # the native reader first: this cv2 build may lack EXR support
+        # (the reference's released datasets are EXR —
+        # /root/reference/utils/rend_util.py:25-54)
+        try:
+            return _exr_read_rgbish(path)
+        except Exception:
+            pass  # fall through to cv2 (e.g. PIZ-compressed files)
     img = cv2.imread(path, flags)
     if img is None:
         raise IOError(f"Failed to read image: {path}")
@@ -92,12 +113,20 @@ def load_normal(path: str) -> np.ndarray:
 
 
 def write_exr_or_npy(path: str, data: np.ndarray) -> str:
-    """Write float data as EXR when OpenCV supports it, else as .npy.
+    """Write float data as EXR (native writer, cv2 fallback), else .npy.
 
-    Returns the path actually written.
+    Returns the path actually written. Data is RGB-ordered (or single
+    channel); stored with standard EXR channel names.
     """
     data = np.asarray(data, dtype=np.float32)
     if path.endswith(".exr"):
+        try:
+            from ..native import exr_write
+
+            exr_write(path, data, half=False)
+            return path
+        except Exception:
+            pass
         try:
             towrite = data[:, :, ::-1] if data.ndim == 3 else data
             if cv2.imwrite(path, towrite):

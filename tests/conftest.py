@@ -5,14 +5,17 @@ at interpreter startup and pins JAX_PLATFORMS — setting JAX_PLATFORMS=cpu
 here (after startup) is silently ignored and the whole suite lands on the
 TPU backend (round-1 VERDICT "what's weak" #1). The only reliable fix is
 a fresh interpreter with the plugin env stripped, so this conftest
-re-execs pytest once under a sanitized environment.
+re-execs pytest once under a sanitized environment. The re-exec happens
+in pytest_configure (not at import) so the capture manager can first
+restore the real stdout/stderr fds — pytest's fd-level capture would
+otherwise swallow all output of the re-exec'd run.
 
 Tiers:
-    python -m pytest tests/ -q              # full suite, 8-CPU-device mesh
-    python -m pytest tests/ -q -m "not slow"  # fast signal loop
-    I2SDF_TEST_TPU=1 python -m pytest tests/ -q   # opt-in: run on the real
-        TPU backend (multi-device tests skip loudly; precision-sensitive
-        tests pin f32 matmuls)
+    python -m pytest tests/ -q                 # full suite, 8-CPU mesh
+    python -m pytest tests/ -q -m "not slow"   # fast signal loop
+    I2SDF_TEST_TPU=1 python -m pytest tests/ -q  # opt-in: real TPU backend
+        (multi-device tests skip loudly; precision-sensitive tests pin
+        f32 matmuls)
 """
 
 import os
@@ -27,11 +30,40 @@ def _axon_would_hijack() -> bool:
         os.environ.get("JAX_PLATFORMS", "") == "axon"
 
 
-if (_axon_would_hijack()
-        and not os.environ.get(_REEXEC_SENTINEL)
-        and not os.environ.get("I2SDF_TEST_TPU")):
-    _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sys.path.insert(0, _repo)
+_NEEDS_REEXEC = (_axon_would_hijack()
+                 and not os.environ.get(_REEXEC_SENTINEL)
+                 and not os.environ.get("I2SDF_TEST_TPU"))
+
+if not _NEEDS_REEXEC:
+    # plain environment: force the virtual CPU mesh before first jax import
+    if not os.environ.get("I2SDF_TEST_TPU"):
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        _flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in _flags:
+            os.environ["XLA_FLAGS"] = (
+                _flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    if not _NEEDS_REEXEC:
+        return
+    # restore the real stdout/stderr fds before replacing the process,
+    # else the new pytest writes into this process's capture tmpfile
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.stop_global_capturing()
+        except Exception:
+            pass
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
     from __graft_entry__ import _sanitized_cpu_env
 
     env = _sanitized_cpu_env(8)
@@ -44,27 +76,13 @@ if (_axon_would_hijack()
     os.execve(sys.executable,
               [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
-# plain environment (e.g. CI without the TPU plugin): force the virtual
-# CPU mesh before the first jax import
-if not os.environ.get("I2SDF_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    _flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in _flags:
-        os.environ["XLA_FLAGS"] = (
-            _flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
-
-import jax  # noqa: E402
-import pytest  # noqa: E402
-
-jax.config.update("jax_enable_x64", False)
-
-_ON_CPU_MESH = (jax.devices()[0].platform == "cpu"
-                and len(jax.devices()) >= 8)
-
 
 def pytest_collection_modifyitems(config, items):
-    if _ON_CPU_MESH:
+    import jax
+
+    on_cpu_mesh = (jax.devices()[0].platform == "cpu"
+                   and len(jax.devices()) >= 8)
+    if on_cpu_mesh:
         return
     skip = pytest.mark.skip(reason=(
         f"needs an 8-virtual-CPU-device mesh; this run has "
