@@ -122,8 +122,13 @@ def generate_synthetic_scene(
     n_images: int = 6,
     img_res: tuple[int, int] = (60, 80),
     scan_id: int = 0,
+    depth_format: str = "npy",
 ) -> str:
-    """Render + write a full scan directory; returns the scan path."""
+    """Render + write a full scan directory; returns the scan path.
+
+    depth_format="exr" stores depth/normal as EXR like the reference's
+    released datasets (loaded through the native C++ EXR reader).
+    """
     import cv2
 
     H, W = img_res
@@ -176,10 +181,20 @@ def generate_synthetic_scene(
 
         cv2.imwrite(os.path.join(scan_dir, "image", f"{i:04d}.png"),
                     (rgb.reshape(H, W, 3)[:, :, ::-1] * 255).astype(np.uint8))
-        np.save(os.path.join(scan_dir, "depth", f"{i:04d}.npy"),
-                z_depth.reshape(H, W))
-        np.save(os.path.join(scan_dir, "normal", f"{i:04d}.npy"),
-                n_view.reshape(H, W, 3).astype(np.float32))
+        if depth_format == "exr":
+            from ..native import exr_write
+
+            exr_write(os.path.join(scan_dir, "depth", f"{i:04d}.exr"),
+                      np.repeat(z_depth.reshape(H, W, 1), 3, -1),
+                      half=False)
+            exr_write(os.path.join(scan_dir, "normal", f"{i:04d}.exr"),
+                      n_view.reshape(H, W, 3).astype(np.float32),
+                      half=False)
+        else:
+            np.save(os.path.join(scan_dir, "depth", f"{i:04d}.npy"),
+                    z_depth.reshape(H, W))
+            np.save(os.path.join(scan_dir, "normal", f"{i:04d}.npy"),
+                    n_view.reshape(H, W, 3).astype(np.float32))
         cv2.imwrite(os.path.join(scan_dir, "light_mask", f"{i:04d}.png"),
                     (lmask.reshape(H, W) * 255).astype(np.uint8))
 

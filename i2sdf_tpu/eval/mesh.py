@@ -214,6 +214,23 @@ def run_mesh_eval(params, model_cfg, conf, exp_dir: str,
     print(f"[INFO] mesh saved to {ply_path} "
           f"({len(verts)} verts, {len(tris)} tris)")
 
+    # inspect-in-browser artifact with training-camera frusta
+    # (parity /root/reference/utils/plots.py:15-73,188-225)
+    from ..train.artifacts import write_mesh_html
+    from ..utils import imaging as _imaging
+    from ..utils.cameras import load_K_Rt_from_P as _loadP
+
+    n_imgs = len(_imaging.glob_imgs(os.path.join(instance_dir, "image")))
+    poses_h, Ks_h = [], []
+    for i in range(n_imgs):
+        K_i, pose_i = _loadP(cams[f"world_mat_{i}"][:3, :])
+        poses_h.append(pose_i)
+        Ks_h.append(K_i)
+    write_mesh_html(verts, tris,
+                    os.path.join(mesh_dir, f"scan{scan_id}.html"),
+                    poses=np.asarray(poses_h) if poses_h else None,
+                    intrinsics=np.asarray(Ks_h) if Ks_h else None)
+
     if score:
         from ..utils import imaging
         from ..utils.cameras import load_K_Rt_from_P

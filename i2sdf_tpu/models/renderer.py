@@ -365,9 +365,9 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
             k_jitter, eik_near.shape, minval=-0.005, maxval=0.005)
         all_pts = jnp.concatenate([eik_uniform, eik_near, neighbors], axis=0)
         if fused_train_grad:
-            from ..ops.pallas.fused_grad import sdf_outputs_fused_grad
+            from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
 
-            grad_theta = sdf_outputs_fused_grad(
+            grad_theta = sdf_outputs_fused_rev(
                 params["implicit"], cfg.implicit, all_pts)[2]
         else:
             grad_theta = mlp.sdf_gradient(

@@ -51,8 +51,11 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
     """
     bubble_bs = bubble_batch_size or batch_size
     fused = _auto_fused(fused_sampler)
-    # the custom-VJP fused training forward measured SLOWER than XLA's
-    # fwd/bwd chain on v5e (20.3k vs 25.7k rays/s) — opt-in only
+    # reverse-sweep custom-VJP (fused_rev v2) beats XLA's fwd/bwd chain
+    # in isolation (16.5 vs 31.6 ms at 155k pts) but currently loses in
+    # the FULL step when the rgb-loss cotangents are live (67.5 vs
+    # 59.7 ms, investigation in docs/PERFORMANCE.md) — opt-in until the
+    # integration wins
     fused_grad = False if fused_train_grad is None else fused_train_grad
 
     def loss_and_metrics(params, data: DeviceArrays, key, weights):

@@ -440,6 +440,12 @@ class ReconstructionTrainer:
             if out is not None:
                 os.makedirs(f"{self.plots_dir}/mesh", exist_ok=True)
                 write_ply(f"{self.plots_dir}/mesh/{step}.ply", *out)
+                # inspect-in-browser parity (plots.py:15-73,188-225):
+                # surface + training-camera frusta
+                artifacts.write_mesh_html(
+                    out[0], out[1], f"{self.plots_dir}/mesh/{step}.html",
+                    poses=np.asarray(self.train_data.pose_all),
+                    intrinsics=np.asarray(self.train_data.intrinsics_all))
 
         result = {"psnr": float(np.mean(psnrs)),
                   "ssim": float(np.mean(ssims))}

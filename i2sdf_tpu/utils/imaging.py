@@ -138,6 +138,59 @@ def write_exr_or_npy(path: str, data: np.ndarray) -> str:
     return path
 
 
+def _box_filter(x: np.ndarray, r: int) -> np.ndarray:
+    """Mean filter with window (2r+1)^2, edge-renormalized (cv2 parity)."""
+    h, w = x.shape[:2]
+    ones = np.ones((h, w), x.dtype)
+
+    def box1(a, axis, r):
+        c = np.cumsum(a, axis=axis)
+        n = a.shape[axis]
+        zeros_pad = [(0, 0)] * a.ndim
+        zeros_pad[axis] = (r + 1, 0)
+        edge_pad = [(0, 0)] * a.ndim
+        edge_pad[axis] = (0, r)
+        # leading zeros (empty prefix sum), trailing edge (full sum)
+        c = np.pad(np.pad(c, edge_pad, mode="edge"), zeros_pad)
+        hi = np.take(c, range(2 * r + 1, 2 * r + 1 + n), axis=axis)
+        lo = np.take(c, range(0, n), axis=axis)
+        return hi - lo
+
+    num = box1(box1(x, 0, r), 1, r)
+    den = box1(box1(ones, 0, r), 1, r)
+    return num / den[(...,) + (None,) * (x.ndim - 2)]
+
+
+def guided_filter(guide: np.ndarray, src: np.ndarray, radius: int = 10,
+                  eps: float = 2.0 / 255.0**2) -> np.ndarray:
+    """Color guided filter (He et al. 2010) — host-side numpy drop-in for
+    the reference's `cv2.ximgproc.guidedFilter(gt, pred, 10, 2, -1)`
+    (`/root/reference/utils/plots.py:518`, eps rescaled to [0,1] images).
+
+    guide: (H, W, 3) in [0,1]; src: (H, W, C) or (H, W)."""
+    I = np.asarray(guide, np.float64)
+    p = np.asarray(src, np.float64)
+    squeeze = p.ndim == 2
+    if squeeze:
+        p = p[..., None]
+    r = radius
+    mean_I = _box_filter(I, r)                       # (H, W, 3)
+    mean_p = _box_filter(p, r)                       # (H, W, C)
+    # 3x3 guide covariance per pixel
+    corr_II = _box_filter(I[..., :, None] * I[..., None, :], r)
+    var_I = corr_II - mean_I[..., :, None] * mean_I[..., None, :]
+    var_I += eps * np.eye(3)
+    corr_Ip = _box_filter(I[..., :, None] * p[..., None, :], r)
+    cov_Ip = corr_Ip - mean_I[..., :, None] * mean_p[..., None, :]
+    a = np.linalg.solve(var_I, cov_Ip)               # (H, W, 3, C)
+    b = mean_p - np.einsum("hwkc,hwk->hwc", a, mean_I)
+    mean_a = _box_filter(a.reshape(*a.shape[:2], -1), r).reshape(a.shape)
+    mean_b = _box_filter(b, r)
+    q = np.einsum("hwkc,hwk->hwc", mean_a, I) + mean_b
+    out = q.astype(np.float32)
+    return out[..., 0] if squeeze else out
+
+
 # ---------------------------------------------------------------------------
 # Color / metrics (JAX)
 # ---------------------------------------------------------------------------

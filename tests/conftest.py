@@ -77,8 +77,43 @@ def pytest_configure(config):
               [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
 
 
+# Known-heavy tests (measured >8 s on the CPU backend), centrally
+# marked so `-m "not slow"` stays a sub-minute signal loop. New heavy
+# tests should be added here or marked @pytest.mark.slow in place.
+_SLOW_NODES = (
+    "test_cli_pipeline.py",
+    "test_parallel.py",
+    "test_pallas_grad.py",
+    "test_pallas_rev.py",
+    "test_pallas_sampler.py",
+    "test_lpips.py",
+    "test_hdr.py::test_hdr_scan_loads",
+    "test_renderer.py::test_idr_rendering_mode",
+    "test_renderer.py::test_gradients_flow_to_all_params",
+    "test_renderer.py::test_train_forward_outputs",
+    "test_renderer.py::test_bg_network_model",
+    "test_renderer.py::test_bubble_pointcloud_sdf",
+    "test_renderer.py::test_light_mask_model",
+    "test_mlp.py::test_sdf_gradient_matches_finite_difference",
+    "test_mlp.py::test_higher_order_grad_through_sdf_gradient",
+    "test_mlp.py::test_sdf_outputs_consistency",
+    "test_mlp.py::test_skip_connection_shapes",
+    "test_mlp.py::test_geometric_init_approximates_sphere",
+    "test_mlp.py::test_bounding_sphere_clamp",
+    "test_pallas_mlp.py::test_fused_in_sampler",
+    "test_pallas_outputs.py::test_fused_outputs_match_xla",
+    "test_train_step.py::test_train_step_descends",
+    "test_train_step.py::test_bubble_step_updates_pdf",
+    "test_sampler.py::test_shapes_sorted_in_range",
+)
+
+
 def pytest_collection_modifyitems(config, items):
     import jax
+
+    for item in items:
+        if any(pat in item.nodeid for pat in _SLOW_NODES):
+            item.add_marker(pytest.mark.slow)
 
     on_cpu_mesh = (jax.devices()[0].platform == "cpu"
                    and len(jax.devices()) >= 8)

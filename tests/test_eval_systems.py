@@ -177,3 +177,26 @@ def test_artifacts_writers(tmp_path):
         rng.random((100, 3)).astype(np.float32), str(tmp_path / "pc.html"))
     text = open(tmp_path / "pc.html").read()
     assert "canvas" in text and len(text) > 1000
+
+
+def test_mesh_html_viewer(tmp_path):
+    """Mesh + camera-frustum HTML (parity plots.py:15-73,188-225)."""
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                     np.float32)
+    tris = np.array([[0, 1, 2], [0, 1, 3], [0, 2, 3]], np.int32)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0, 0, -3]
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 100.0
+    K[0, 2], K[1, 2] = 40.0, 30.0
+    path = str(tmp_path / "mesh.html")
+    artifacts.write_mesh_html(verts, tris, path, poses=pose[None],
+                              intrinsics=K[None])
+    text = open(path).read()
+    assert "canvas" in text and "CAMS" in text
+    assert "3 faces, 1 cameras" in text
+    # decimation keeps the viewer bounded
+    big_tris = np.tile(tris, (30000, 1))
+    artifacts.write_mesh_html(verts, big_tris,
+                              str(tmp_path / "big.html"), max_tris=1000)
+    assert "1000 faces" in open(tmp_path / "big.html").read()
