@@ -1,9 +1,21 @@
 """Input encodings: NeRF positional encoding, spherical harmonics, Fourier.
 
 Capability parity with `/root/reference/model/network/embedder.py:1-160`.
-All encoders are pure functions returning `(embed_fn, out_dim)`; channel
-layout matches the reference exactly ([x, sin(f0 x), cos(f0 x), sin(f1 x),
-...]) because the geometric initialization zeroes PE channels by position.
+All encoders are pure functions returning `(embed_fn, out_dim)`.
+
+TPU-first channel layout: `[x | sin-block | cos-block]` with the sin/cos
+blocks dim-major (`sin(x*f0..fK), sin(y*f0..fK), sin(z*f0..fK)`), computed
+as ONE small matmul (`x @ B`) followed by two WIDE `sin`/`cos` ops. The
+reference's interleaved per-frequency layout
+(`embedder.py:28-47`: [x, sin(f0 x), cos(f0 x), sin(f1 x), ...]) lowers to
+dozens of (N, 3) ops on TPU, each wasting 125/128 vector lanes — measured
+as the dominant cost of the differentiated render step. The layouts are
+exact permutations of each other, and the geometric initialization zeroes
+every PE channel (`mlp.py` implicit_net_init), so training is EXACTLY
+equivalent (permutation-symmetric init); only the internal channel order
+differs. `pe_permutation_from_reference()` maps reference-ordered
+first-layer weights into this layout if external checkpoints ever need
+importing.
 """
 
 from __future__ import annotations
@@ -29,18 +41,47 @@ def positional_encoding(
         freq_bands = 2.0 ** np.linspace(0.0, multires - 1, multires)
     else:
         freq_bands = np.linspace(2.0**0.0, 2.0 ** (multires - 1), multires)
-    freq_bands = jnp.asarray(freq_bands, dtype=jnp.float32)
+
+    # basis matrix: (d, d*F), B[i, i*F + j] = f_j (dim-major sin/cos blocks)
+    B = np.zeros((input_dims, input_dims * multires), np.float32)
+    for i in range(input_dims):
+        B[i, i * multires:(i + 1) * multires] = freq_bands
+    B = jnp.asarray(B)
 
     out_dim = input_dims * ((1 if include_input else 0) + 2 * multires)
 
     def embed(x):
+        xf = x @ B  # (..., d*F), one MXU op instead of 2F narrow ones
         parts = [x] if include_input else []
-        for f in freq_bands:
-            parts.append(jnp.sin(x * f))
-            parts.append(jnp.cos(x * f))
-        return jnp.concatenate(parts, axis=-1)
+        return jnp.concatenate(parts + [jnp.sin(xf), jnp.cos(xf)], axis=-1)
 
     return embed, out_dim
+
+
+def pe_frequencies(multires: int, log_sampling: bool = True) -> np.ndarray:
+    """The frequency ladder used by `positional_encoding` (host-side)."""
+    if log_sampling:
+        return 2.0 ** np.linspace(0.0, multires - 1, multires)
+    return np.linspace(2.0**0.0, 2.0 ** (multires - 1), multires)
+
+
+def pe_permutation_from_reference(multires: int, input_dims: int = 3):
+    """Column permutation mapping the reference's interleaved PE layout
+    ([x, sin(f0 x), cos(f0 x), sin(f1 x), ...], embedder.py:28-47) to this
+    framework's block layout ([x | sin dim-major | cos dim-major]).
+
+    `new_emb = ref_emb[..., perm]`; equivalently, reference first-layer
+    weight ROWS reorder as `w_new = w_ref[perm]` when importing external
+    checkpoints."""
+    d, F = input_dims, multires
+    perm = list(range(d))  # identity block
+    for i in range(d):  # sin block, dim-major
+        for j in range(F):
+            perm.append(d + 2 * j * d + i)
+    for i in range(d):  # cos block
+        for j in range(F):
+            perm.append(d + (2 * j + 1) * d + i)
+    return np.asarray(perm)
 
 
 # Hardcoded real SH coefficients, degrees 0..4 (parity: embedder.py:54-82).

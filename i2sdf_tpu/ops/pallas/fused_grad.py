@@ -47,7 +47,14 @@ _LANES = 128
 
 
 def _embed_with_tangents(cfg: ImplicitNetConfig, points):
-    """Positional encoding + analytic xyz tangents (XLA-side, tiny)."""
+    """Positional encoding + analytic xyz tangents (XLA-side, wide ops).
+
+    Block PE layout (models/embedder.py): emb = [x | sin(x@B) | cos(x@B)]
+    with B[i, i*F+j] = f_j, so d emb/dx_k = [e_k | cos(xf)*B[k] |
+    -sin(xf)*B[k]] — three wide elementwise products instead of the 2F
+    per-frequency (N, 3) concats of the interleaved layout."""
+    from ...models.embedder import pe_frequencies
+
     embed = cfg.embed_fn()
     one = jnp.ones_like(points[:, :1])
     eye = [jnp.concatenate([one if i == k else 0 * one for i in range(3)],
@@ -55,14 +62,17 @@ def _embed_with_tangents(cfg: ImplicitNetConfig, points):
     if embed is None:
         return points, eye
     feats = embed(points)
-    freqs = 2.0 ** np.linspace(0.0, cfg.multires - 1, cfg.multires)
-    tangents = []
-    for k in range(3):
-        parts = [eye[k]]
-        for f in freqs:
-            parts.append(jnp.cos(points * f) * f * eye[k])
-            parts.append(-jnp.sin(points * f) * f * eye[k])
-        tangents.append(jnp.concatenate(parts, axis=-1))
+    freqs = pe_frequencies(cfg.multires)
+    F = cfg.multires
+    B = np.zeros((3, 3 * F), np.float32)
+    for i in range(3):
+        B[i, i * F:(i + 1) * F] = freqs
+    xf = points @ jnp.asarray(B)
+    sin_xf, cos_xf = jnp.sin(xf), jnp.cos(xf)
+    tangents = [
+        jnp.concatenate([eye[k], cos_xf * B[k], -sin_xf * B[k]], axis=-1)
+        for k in range(3)
+    ]
     return feats, tangents
 
 

@@ -8,18 +8,34 @@ from i2sdf_tpu.models.embedder import (fourier_feature, get_embedder,
 
 
 def test_pe_layout_and_values():
+    # TPU-first block layout: [x | sin dim-major | cos dim-major]
+    # (exact permutation of the reference's interleaved layout; the
+    # geometric init zeroes every PE channel so training is equivalent)
     embed, out_dim = positional_encoding(multires=2, input_dims=3)
     assert out_dim == 3 * (1 + 2 * 2)
     x = jnp.array([[0.5, -0.25, 1.0]])
     y = np.asarray(embed(x))[0]
     expected = np.concatenate([
         [0.5, -0.25, 1.0],
-        np.sin([0.5, -0.25, 1.0]),
-        np.cos([0.5, -0.25, 1.0]),
-        np.sin([1.0, -0.5, 2.0]),
-        np.cos([1.0, -0.5, 2.0]),
+        np.sin([0.5, 1.0, -0.25, -0.5, 1.0, 2.0]),
+        np.cos([0.5, 1.0, -0.25, -0.5, 1.0, 2.0]),
     ])
     np.testing.assert_allclose(y, expected, atol=1e-6)
+
+
+def test_pe_block_layout_is_permutation_of_reference():
+    from i2sdf_tpu.models.embedder import pe_permutation_from_reference
+
+    embed, out_dim = positional_encoding(multires=3, input_dims=3)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (5, 3)))
+    # reference interleaved layout, built independently
+    parts = [x]
+    for f in (1.0, 2.0, 4.0):
+        parts += [np.sin(x * f), np.cos(x * f)]
+    ref = np.concatenate(parts, axis=-1)
+    perm = pe_permutation_from_reference(multires=3, input_dims=3)
+    np.testing.assert_allclose(np.asarray(embed(jnp.asarray(x))),
+                               ref[:, perm], atol=1e-6)
 
 
 def test_pe_frequencies_log_spaced():
