@@ -51,12 +51,11 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
     """
     bubble_bs = bubble_batch_size or batch_size
     fused = _auto_fused(fused_sampler)
-    # reverse-sweep custom-VJP (fused_rev v2) beats XLA's fwd/bwd chain
-    # in isolation (16.5 vs 31.6 ms at 155k pts) but currently loses in
-    # the FULL step when the rgb-loss cotangents are live (67.5 vs
-    # 59.7 ms, investigation in docs/PERFORMANCE.md) — opt-in until the
-    # integration wins
-    fused_grad = False if fused_train_grad is None else fused_train_grad
+    # reverse-sweep custom-VJP (fused_rev v2) wins the full step on TPU
+    # since the wide-block PE change (44.9 vs 55.8 ms at the flagship
+    # config; the old interleaved PE made its XLA-side _prep the
+    # bottleneck) — default ON for TPU backends, like the fused sampler
+    fused_grad = _auto_fused(fused_train_grad)
 
     def loss_and_metrics(params, data: DeviceArrays, key, weights):
         k_batch, k_bubble, k_render = jax.random.split(key, 3)
