@@ -221,8 +221,9 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
     `fused_sampler=True` (static) uses the fused Pallas MLP kernel for
     the sampler's no-grad evaluations (TPU hot path, ~15x XLA).
     `fused_train_grad` gates the custom-VJP fused forward on the
-    differentiated training path (measured slower than XLA's fwd/bwd
-    chain on v5e, so it defaults OFF; see docs/PERFORMANCE.md).
+    differentiated training path (wins the full step on v5e since the
+    wide-block PE change — the train step defaults it ON for TPU
+    backends; see docs/PERFORMANCE.md).
     """
     if fused_train_grad is None:
         fused_train_grad = False
