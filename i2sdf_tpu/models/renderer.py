@@ -273,6 +273,7 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
         ray_dirs[:, None, :], (R, S, 3)).reshape(-1, 3)
 
     returns_grad = cfg.use_normal or (not training) or cfg.rendering.mode == "idr"
+    rgb_flat = None
     if not training and fused_sampler:
         # eval never differentiates w.r.t. params: the fused
         # forward+reverse-sweep kernel yields sdf/features/normals in
@@ -283,21 +284,34 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
             jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
             points_flat, block_rows=512)
     elif training and fused_train_grad and returns_grad:
-        # custom-VJP fused forward: differentiable w.r.t. params
-        # including through the spatial gradient (normal-map loss).
-        # Reverse-sweep v2: 16.5 ms vs XLA's 31.6 ms for the full
-        # fwd+bwd chain at 155k points on v5e (docs/PERFORMANCE.md)
-        from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
+        from ..ops.pallas.fused_train import (render_core_fused,
+                                              supports_render_core)
 
-        sdf, feature_vectors, gradients = sdf_outputs_fused_rev(
-            params["implicit"], cfg.implicit, points_flat)
+        if (supports_render_core(cfg.implicit, cfg.rendering)
+                and not cfg.use_light):
+            # whole-render fused kernel (v3): SDF + radiance MLP fwd/bwd
+            # in one launch each — the (N, feat) feature tensor never
+            # leaves VMEM (docs/PERFORMANCE.md)
+            sdf, gradients, rgb_flat = render_core_fused(
+                params["implicit"], cfg.implicit, params["rendering"],
+                cfg.rendering, points_flat, dirs_flat)
+            feature_vectors = None
+        else:
+            # SDF-only custom-VJP fused forward (v2), radiance in XLA:
+            # differentiable w.r.t. params including through the spatial
+            # gradient (normal-map loss)
+            from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
+
+            sdf, feature_vectors, gradients = sdf_outputs_fused_rev(
+                params["implicit"], cfg.implicit, points_flat)
     else:
         sdf, feature_vectors, gradients = mlp.sdf_outputs(
             params["implicit"], cfg.implicit, points_flat, returns_grad)
 
-    rgb_flat = mlp.rendering_net_apply(
-        params["rendering"], cfg.rendering, points_flat, gradients,
-        dirs_flat, feature_vectors)
+    if rgb_flat is None:
+        rgb_flat = mlp.rendering_net_apply(
+            params["rendering"], cfg.rendering, points_flat, gradients,
+            dirs_flat, feature_vectors)
     rgb = rgb_flat.reshape(R, S, 3)
 
     density = laplace_density(sdf, beta).reshape(R, S)

@@ -1,0 +1,124 @@
+"""Whole-render fused kernel (ops/pallas/fused_train.py): forward values
+AND parameter gradients for BOTH nets (incl. the second-order
+normal-map/eikonal path through the spatial gradient) must match the
+XLA reference composition (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2sdf_tpu.models.mlp import (ImplicitNetConfig, RenderingNetConfig,
+                                  implicit_net_init, rendering_net_apply,
+                                  rendering_net_init, sdf_outputs)
+from i2sdf_tpu.ops.pallas.fused_train import (render_core_fused,
+                                              supports_render_core)
+
+# bf16 compute (like the flagship config): the kernel's bf16 rounding
+# points then line up with the XLA reference's. Vs an f32 reference the
+# per-leaf error at these narrow test widths reaches ~0.25 (bf16 noise
+# through ReLU masks + weight-norm, NOT kernel error: the kernel matches
+# a bit-exact XLA replica's jax.grad to <0.3%).
+ICFG = ImplicitNetConfig(
+    feature_vector_size=16, sdf_bounding_sphere=0.0,
+    dims=(64, 64, 64, 64), skip_in=(2,), bias=0.6,
+    embed_type="positional", multires=4, compute_dtype="bfloat16")
+RCFG = RenderingNetConfig(
+    feature_vector_size=16, mode="nerf", dims=(32, 32),
+    embed_type="positional", multires=3, compute_dtype="bfloat16")
+
+
+def _ref(p_imp, p_rad, pts, dirs):
+    sdf, feat, grad = sdf_outputs(p_imp, ICFG, pts, returns_grad=True)
+    rgb = rendering_net_apply(p_rad, RCFG, pts, grad, dirs, feat)
+    return sdf, grad, rgb
+
+
+def _loss(sdf, grad, rgb, gt_rgb, gt_n):
+    normals = grad / jnp.maximum(
+        jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+    return (jnp.mean(jnp.abs(rgb - gt_rgb)) + 0.2 * jnp.mean(sdf**2)
+            + 0.5 * jnp.mean(jnp.abs(1 - jnp.sum(normals * gt_n, -1)))
+            + 0.1 * jnp.mean((jnp.linalg.norm(grad, axis=-1) - 1) ** 2))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    p_imp = implicit_net_init(jax.random.PRNGKey(0), ICFG)
+    p_rad = rendering_net_init(jax.random.PRNGKey(1), RCFG)
+    pts = jax.random.normal(jax.random.PRNGKey(2), (96, 3)) * 0.8
+    dirs = jax.random.normal(jax.random.PRNGKey(3), (96, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    gt_rgb = jax.random.uniform(jax.random.PRNGKey(4), (96, 3))
+    gt_n = jax.random.normal(jax.random.PRNGKey(5), (96, 3))
+    gt_n = gt_n / jnp.linalg.norm(gt_n, axis=-1, keepdims=True)
+    return p_imp, p_rad, pts, dirs, gt_rgb, gt_n
+
+
+def test_supports_flagship_shape():
+    assert supports_render_core(ICFG, RCFG)
+    assert not supports_render_core(
+        ICFG, RCFG.__class__(**{**RCFG.__dict__, "mode": "idr"}))
+
+
+def test_forward_values_match(setup):
+    p_imp, p_rad, pts, dirs, _, _ = setup
+    s_ref, g_ref, rgb_ref = _ref(p_imp, p_rad, pts, dirs)
+    s, g, rgb = render_core_fused(p_imp, ICFG, p_rad, RCFG, pts, dirs,
+                                  block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               atol=0.02, rtol=0.02)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=0.05, rtol=0.08)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=0.03, rtol=0.05)
+
+
+def test_param_gradients_match(setup):
+    p_imp, p_rad, pts, dirs, gt_rgb, gt_n = setup
+
+    def loss_ref(ps):
+        return _loss(*_ref(ps["i"], ps["r"], pts, dirs), gt_rgb, gt_n)
+
+    def loss_ker(ps):
+        s, g, rgb = render_core_fused(ps["i"], ICFG, ps["r"], RCFG,
+                                      pts, dirs, block_rows=32,
+                                      interpret=True)
+        return _loss(s, g, rgb, gt_rgb, gt_n)
+
+    ps = {"i": p_imp, "r": p_rad}
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(ps)
+    v_ker, g_ker = jax.value_and_grad(loss_ker)(ps)
+    np.testing.assert_allclose(float(v_ker), float(v_ref), rtol=5e-3)
+
+    flat_ref, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    flat_ker = dict(jax.tree_util.tree_flatten_with_path(g_ker)[0])
+    for path, ref in flat_ref:
+        ker = flat_ker[path]
+        ref, ker = np.asarray(ref), np.asarray(ker)
+        scale = max(np.abs(ref).max(), 1e-3)
+        err = np.abs(ker - ref).max() / scale
+        # residual rounding-point differences at width 32-64 (see module
+        # constant note); flagship width 256 averages far tighter
+        assert err < 0.1, (jax.tree_util.keystr(path), err)
+    a = np.concatenate([np.asarray(v).ravel() for _, v in flat_ref])
+    b = np.concatenate([np.asarray(flat_ker[p]).ravel()
+                        for p, _ in flat_ref])
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999
+
+
+def test_sphere_clamp(setup):
+    cfg = ImplicitNetConfig(
+        feature_vector_size=16, sdf_bounding_sphere=1.2,
+        dims=(64, 64, 64, 64), skip_in=(2,), bias=0.6,
+        embed_type="positional", multires=4)
+    p_imp = implicit_net_init(jax.random.PRNGKey(0), cfg)
+    p_rad = rendering_net_init(jax.random.PRNGKey(1), RCFG)
+    pts = jnp.asarray([[2.0, 0.0, 0.0], [0.1, 0.1, 0.0]])
+    dirs = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0]])
+    s_ref, _, g_ref = sdf_outputs(p_imp, cfg, pts, returns_grad=True)
+    s, g, _ = render_core_fused(p_imp, cfg, p_rad, RCFG, pts, dirs,
+                                block_rows=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=0.02)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=0.05)

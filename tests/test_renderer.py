@@ -208,3 +208,61 @@ def test_idr_rendering_mode():
     grads = jax.jit(jax.grad(loss_fn))(params)
     g = grads["rendering"]["lin0"]["v"]
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_fused_train_grad_v3_matches_xla(monkeypatch):
+    """render_rays(fused_train_grad=True) on a flagship-shaped (nerf,
+    no-light) config must match the XLA path: outputs AND loss-gradients.
+    Kernels run in interpret mode on CPU via monkeypatched entry points."""
+    from functools import partial as _partial
+
+    from i2sdf_tpu.ops.pallas import fused_rev as _frev
+    from i2sdf_tpu.ops.pallas import fused_train as _ftrain
+
+    monkeypatch.setattr(
+        _ftrain, "render_core_fused",
+        _partial(_ftrain.render_core_fused.__wrapped__
+                 if hasattr(_ftrain.render_core_fused, "__wrapped__")
+                 else _ftrain.render_core_fused,
+                 block_rows=8, interpret=True))
+    monkeypatch.setattr(
+        _frev, "sdf_outputs_fused_rev",
+        _partial(_frev.sdf_outputs_fused_rev, block_rows=8,
+                 interpret=True))
+
+    cfg = make_cfg()
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    inputs = make_inputs()
+    key = jax.random.PRNGKey(3)
+
+    def run(fused):
+        return renderer.render_rays(params, cfg, inputs, key,
+                                    training=True, fused_train_grad=fused)
+
+    o_x = run(False)
+    o_f = run(True)
+    assert set(o_f) == set(o_x)
+    np.testing.assert_allclose(np.asarray(o_f["rgb_values"]),
+                               np.asarray(o_x["rgb_values"]),
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(o_f["normal_values"]),
+                               np.asarray(o_x["normal_values"]), atol=0.05)
+
+    gt = jnp.zeros_like(o_x["rgb_values"])
+
+    def loss(p, fused):
+        o = renderer.render_rays(p, cfg, inputs, key, training=True,
+                                 fused_train_grad=fused)
+        return (jnp.mean(jnp.abs(o["rgb_values"] - gt))
+                + 0.1 * jnp.mean((jnp.linalg.norm(o["grad_theta"], axis=-1)
+                                  - 1.0) ** 2)
+                + 0.05 * jnp.mean(jnp.abs(o["normal_values"])))
+
+    g_x = jax.grad(lambda p: loss(p, False))(params)
+    g_f = jax.grad(lambda p: loss(p, True))(params)
+    flat_x = jax.tree_util.tree_flatten_with_path(g_x)[0]
+    flat_f = dict(jax.tree_util.tree_flatten_with_path(g_f)[0])
+    a = np.concatenate([np.asarray(v).ravel() for _, v in flat_x])
+    b = np.concatenate([np.asarray(flat_f[p]).ravel() for p, _ in flat_x])
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.99, cos
