@@ -275,14 +275,27 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
     returns_grad = cfg.use_normal or (not training) or cfg.rendering.mode == "idr"
     rgb_flat = None
     if not training and fused_sampler:
-        # eval never differentiates w.r.t. params: the fused
-        # forward+reverse-sweep kernel yields sdf/features/normals in
-        # ONE launch (5.2 ms vs 11.5 ms tangent-stream v1 at 155k pts)
-        from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
+        # eval never differentiates w.r.t. params: the whole-render v3
+        # forward yields sdf/normals/rgb in ONE launch on nerf/no-light
+        # configs; otherwise the v2 forward+reverse-sweep kernel gives
+        # sdf/features/normals (5.2 ms vs 11.5 ms tangent-stream v1 at
+        # 155k pts) and the radiance net runs in XLA
+        from ..ops.pallas.fused_train import (render_core_fused,
+                                              supports_render_core)
 
-        sdf, feature_vectors, gradients = sdf_outputs_fused_rev(
-            jax.lax.stop_gradient(params["implicit"]), cfg.implicit,
-            points_flat, block_rows=512)
+        p_sg = jax.lax.stop_gradient(params)
+        if (supports_render_core(cfg.implicit, cfg.rendering)
+                and not cfg.use_light):
+            sdf, gradients, rgb_flat = render_core_fused(
+                p_sg["implicit"], cfg.implicit, p_sg["rendering"],
+                cfg.rendering, points_flat, dirs_flat, block_rows=512)
+            feature_vectors = None
+        else:
+            from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
+
+            sdf, feature_vectors, gradients = sdf_outputs_fused_rev(
+                p_sg["implicit"], cfg.implicit, points_flat,
+                block_rows=512)
     elif training and fused_train_grad and returns_grad:
         from ..ops.pallas.fused_train import (render_core_fused,
                                               supports_render_core)
