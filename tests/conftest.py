@@ -103,6 +103,9 @@ _SLOW_NODES = (
     "test_pallas_mlp.py::test_fused_in_sampler",
     "test_pallas_outputs.py::test_fused_outputs_match_xla",
     "test_train_step.py::test_train_step_descends",
+    "test_train_step.py::test_fused_train_step_matches_xla",
+    "test_pallas_train.py",
+    "test_renderer.py::test_fused_train_grad_v3_matches_xla",
     "test_train_step.py::test_bubble_step_updates_pdf",
     "test_sampler.py::test_shapes_sorted_in_range",
 )

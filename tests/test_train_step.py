@@ -138,3 +138,49 @@ def test_bubble_step_updates_pdf(dataset):
     assert int(count.sum()) == 16
     assert pdf.shape == (P,)
     assert bool(jnp.all(jnp.isfinite(pdf)))
+
+
+def test_fused_train_step_matches_xla(dataset, monkeypatch):
+    """make_train_step(fused_train_grad=True) — the TPU default — must
+    descend and track the XLA step's loss closely (v3 whole-render
+    kernel in interpret mode via monkeypatched entry points)."""
+    from functools import partial
+
+    from i2sdf_tpu.ops.pallas import fused_rev as _frev
+    from i2sdf_tpu.ops.pallas import fused_train as _ftrain
+
+    monkeypatch.setattr(
+        _ftrain, "render_core_fused",
+        partial(_ftrain.render_core_fused, block_rows=8, interpret=True))
+    monkeypatch.setattr(
+        _frev, "sdf_outputs_fused_rev",
+        partial(_frev.sdf_outputs_fused_rev, block_rows=8, interpret=True))
+
+    node = CfgNode(dict(TINY_MODEL))
+    node.use_normal = True
+    cfg = renderer.I2SDFConfig.from_cfgnode(node)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    loss_cfg = LossConfig(eikonal_weight=0.1, depth_weight=0.1,
+                          normal_weight=0.05)
+    w = loss_cfg.dynamic_weights(0)
+    data = dataset.to_device()
+
+    state_x, tx = create_train_state(params, learning_rate=1e-3,
+                                     decay_steps=100)
+    step_x = make_train_step(cfg, tx, batch_size=64, donate=False,
+                             fused_sampler=False, fused_train_grad=False)
+    step_f = make_train_step(cfg, tx, batch_size=64, donate=False,
+                             fused_sampler=False, fused_train_grad=True)
+    key = jax.random.PRNGKey(7)
+    s_x = s_f = state_x
+    for i in range(3):
+        key, k = jax.random.split(key)
+        s_x, m_x = step_x(s_x, data, k, w)
+        s_f, m_f = step_f(s_f, data, k, w)
+        np.testing.assert_allclose(float(m_f["loss"]), float(m_x["loss"]),
+                                   rtol=0.05, atol=5e-3)
+    # parameters evolve in lockstep (bf16 kernel vs f32 XLA tolerance)
+    leaves_x = jax.tree.leaves(s_x.params)
+    leaves_f = jax.tree.leaves(s_f.params)
+    for a, b in zip(leaves_x, leaves_f):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3)
