@@ -1,0 +1,277 @@
+"""Relighting test mode: Monte-Carlo direct lighting of the trained SDF
+scene under edited materials / emitters.
+
+The reference's editing branch shipped only scaffolding (its
+`RenderingLayer.forward` calls `model.get_incident_radiance`, a method
+no in-tree model defines — `/root/reference/model/rendering/__init__.py:42`
+— and `main_recon.py` exposes no relight test mode). This module
+completes the pipeline so `--test_mode relight` WORKS end to end:
+
+1. Surface extraction: the volume renderer's expected depth + normal map
+   per pixel (no extra tracing — reuses the eval render path).
+2. Emitters: pixels with a bright light mask are unprojected to world
+   points (`rend_util.depth_to_world` parity) and clustered with the
+   jit k-means of `ops/clustering.py` (the reference's emitter-cluster
+   plan, `/root/reference/model/network/__init__.py:49-75`); each
+   cluster becomes a bounding-sphere emitter with the mean HDR radiance
+   of its pixels.
+3. Materials: kd defaults to the rendered view-independent color, ks /
+   roughness to dielectric defaults; `RelightData.edited_materials`
+   applies the edit-config override maps
+   (`/root/reference/dataset/eval_dataset.py:276-340` parity).
+4. Shading: `rendering_layer.shade` (cosine-hemisphere + GGX-VNDF
+   importance sampling) with incident radiance = emitter hit *
+   SPHERE-TRACED visibility against the learned SDF (fixed-iteration
+   `lax.fori_loop` — the TPU form of a data-dependent march).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.recon import ReconData
+from ..data.relight import RelightData
+from ..models import mlp
+from ..models.rendering_layer import RenderingLayerConfig, shade
+from ..ops.clustering import init_emission_groups
+from ..train.step import make_eval_render_fn
+from ..train import artifacts
+from ..utils.cameras import get_camera_params
+from ..utils.imaging import linear_to_srgb
+
+
+class Emitters:
+    """Bounding-sphere emitter set: centers (E,3), radii (E,), radiance
+    (E,3)."""
+
+    def __init__(self, centers, radii, radiance):
+        self.centers = jnp.asarray(centers, jnp.float32)
+        self.radii = jnp.asarray(radii, jnp.float32)
+        self.radiance = jnp.asarray(radiance, jnp.float32)
+
+    @property
+    def count(self) -> int:
+        return int(self.centers.shape[0])
+
+
+def find_emitters(rd: ReconData, n_emitters: int = 1,
+                  emitter_scale: float = 1.0, mask_thresh: float = 0.5,
+                  max_points: int = 50_000, key=None) -> Emitters:
+    """Cluster bright light-mask pixels (unprojected by GT depth) into
+    sphere emitters with the mean HDR radiance of their pixels."""
+    if rd.lightmask_images is None:
+        raise ValueError("relight needs a light_mask dataset "
+                         "(dataset has none)")
+    if rd.depth_images is None:
+        raise ValueError("relight needs GT depth to place emitters")
+    from ..data.recon import _depth_to_world_np
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    def collect(selector):
+        pts, rgbs = [], []
+        for i in range(rd.n_images):
+            dm = np.asarray(rd.depth_masks[i]).reshape(-1)
+            sel = selector(i) & dm
+            if not sel.any():
+                continue
+            pts.append(_depth_to_world_np(
+                rd.uv, rd.intrinsics_all[i], rd.pose_all[i],
+                rd.depth_images[i], sel))
+            rgbs.append(np.asarray(rd.rgb_images[i]).reshape(-1, 3)[sel])
+        return pts, rgbs
+
+    pts, rgbs = collect(
+        lambda i: np.asarray(rd.lightmask_images[i]).reshape(-1)
+        > mask_thresh)
+    if not pts:
+        # no masked emitter pixels visible from any view: fall back to
+        # the brightest 0.2% of pixels (directly lit / emissive areas)
+        lum = np.asarray(rd.rgb_images).reshape(rd.n_images, -1, 3).mean(-1)
+        cut = np.quantile(lum, 0.998)
+        print("[relight] WARN: no light-mask pixels above threshold; "
+              f"falling back to brightest pixels (luminance > {cut:.3f})")
+        pts, rgbs = collect(lambda i: lum[i] >= cut)
+    if not pts:
+        raise ValueError("no emitter pixels found; cannot build emitters")
+    pts = np.concatenate(pts)
+    rgbs = np.concatenate(rgbs)
+    if len(pts) > max_points:
+        idx = np.random.default_rng(0).permutation(len(pts))[:max_points]
+        pts, rgbs = pts[idx], rgbs[idx]
+
+    labels, centers, _ = init_emission_groups(
+        key, jnp.asarray(pts, jnp.float32), n_emitters)
+    labels = np.asarray(labels)
+    centers = np.asarray(centers)
+    radii = np.empty(n_emitters, np.float32)
+    radiance = np.empty((n_emitters, 3), np.float32)
+    for e in range(n_emitters):
+        sel = labels == e
+        if not sel.any():  # degenerate cluster: keep a tiny dark emitter
+            radii[e], radiance[e] = 1e-3, 0.0
+            continue
+        d = np.linalg.norm(pts[sel] - centers[e], axis=-1)
+        radii[e] = max(float(np.quantile(d, 0.9)), 1e-3)
+        radiance[e] = rgbs[sel].mean(0) * emitter_scale
+    return Emitters(centers, radii, radiance)
+
+
+def sphere_trace_visibility(sdf_fn, origins, dirs, t_max,
+                            n_steps: int = 32, eps: float = 2e-3,
+                            t0: float = 2e-2):
+    """1 where the ray reaches t_max unoccluded, else 0 (fixed-iteration
+    sphere tracing; marches at least eps/2 per step so it terminates on
+    surfaces the learned SDF underestimates)."""
+    t_max = jnp.maximum(t_max, t0)
+
+    def body(_, t):
+        pts = origins + t[:, None] * dirs
+        s = sdf_fn(pts)
+        return jnp.minimum(t + jnp.maximum(s, 0.5 * eps), t_max)
+
+    t = jax.lax.fori_loop(0, n_steps,  body,
+                          jnp.full(origins.shape[:1], t0))
+    reached = t >= t_max * 0.98
+    clear = sdf_fn(origins + t[:, None] * dirs) > eps
+    return (reached | clear).astype(jnp.float32)
+
+
+def make_incident_radiance_fn(sdf_fn, emitters: Emitters,
+                              n_steps: int = 32):
+    """(points, dirs) -> (N, 3) incoming radiance: per-emitter
+    ray-sphere intersection gated by sphere-traced visibility."""
+
+    def li(points, dirs):
+        total = jnp.zeros_like(points)
+        for e in range(emitters.count):
+            oc = points - emitters.centers[e]
+            b = jnp.sum(oc * dirs, -1)
+            c = jnp.sum(oc * oc, -1) - emitters.radii[e] ** 2
+            disc = b * b - c
+            t_hit = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+            inside = c < 0.0  # shading point inside the emitter sphere
+            hits = ((disc > 0.0) & (t_hit > 1e-3)) | inside
+            # trace only up to just outside the emitter surface
+            t_cap = jnp.where(hits, jnp.maximum(t_hit * 0.98, 1e-3), 1e-3)
+            vis = sphere_trace_visibility(sdf_fn, points, dirs, t_cap,
+                                          n_steps=n_steps)
+            vis = jnp.where(inside, 1.0, vis)
+            total = total + (emitters.radiance[e][None, :]
+                             * hits[:, None] * vis[:, None])
+        return total
+
+    return li
+
+
+def run_relight(params, model_cfg, conf, exp_dir: str,
+                data_root: str = "data", indices=None, spp: int = 16,
+                n_emitters: int = 1, emitter_scale: float = 1.0,
+                edit_conf: dict | None = None, fused: bool | None = None,
+                full_res: bool = False, chunk: int = 4096,
+                vis_steps: int = 32, seed: int = 0) -> dict:
+    """Render relit images for every (or `indices`) viewpoint. Writes
+    `eval/relight/{tag}_relit.png|_diffuse.png|_specular.png` and
+    returns the emitter summary."""
+    dataset_conf = dict(conf.dataset)
+    scan_id = dataset_conf.pop("scan_id", 0)
+    downsample = 1 if full_res else dataset_conf.pop("downsample", 1)
+    dataset_conf.pop("data_root", None)
+
+    rd = ReconData(scan_id=scan_id, data_root=data_root, use_depth=True,
+                   use_normal=False, use_bubble=False, use_lightmask=True,
+                   **{k: v for k, v in dataset_conf.items()
+                      if k in ("data_dir", "img_res")})
+    emitters = find_emitters(rd, n_emitters=n_emitters,
+                             emitter_scale=emitter_scale)
+    print(f"[relight] {emitters.count} emitters; centers="
+          f"{np.round(np.asarray(emitters.centers), 3).tolist()}")
+
+    pd = RelightData(scan_id=scan_id, data_root=data_root,
+                     downsample=downsample, indices=indices, plot_nimgs=-1,
+                     edit_conf=edit_conf, **dataset_conf)
+
+    render_image, _ = make_eval_render_fn(
+        model_cfg, chunk_size=conf.train.get("split_n_pixels", 12000),
+        fused_sampler=fused)
+
+    def sdf_fn(pts):
+        return mlp.sdf_vals(params["implicit"], model_cfg.implicit,
+                            pts)[:, 0]
+
+    li_fn = make_incident_radiance_fn(sdf_fn, emitters, n_steps=vis_steps)
+    layer_cfg = RenderingLayerConfig(spp=spp)
+
+    @jax.jit
+    def shade_chunk(key, pts, normals, view_dirs, kd, ks, rough):
+        return shade(layer_cfg, key, pts, normals, view_dirs, kd, ks,
+                     rough, li_fn)
+
+    out_dir = os.path.join(exp_dir, "eval", "relight")
+    os.makedirs(out_dir, exist_ok=True)
+    H, W = pd.img_res
+    key = jax.random.PRNGKey(seed)
+    ids = indices if indices is not None else range(pd.n_images)
+    results = []
+    for row, idx in enumerate(ids):
+        uv, K, pose, _ = pd.image_inputs(row)
+        out = render_image(params, jnp.asarray(uv), jnp.asarray(K),
+                           jnp.asarray(pose))
+        ray_dirs, cam_loc = get_camera_params(
+            jnp.asarray(uv)[None], jnp.asarray(pose)[None],
+            jnp.asarray(K)[None])
+        norms = jnp.linalg.norm(ray_dirs[0], axis=-1, keepdims=True)
+        units = ray_dirs[0] / jnp.maximum(norms, 1e-12)
+        dist = out["depth_values"].reshape(-1) * norms[:, 0]
+        pts = cam_loc[0][None, :] + dist[:, None] * units
+        view_dirs = -units  # toward the camera
+        normals = out["normal_map"].reshape(-1, 3)
+
+        kd = np.clip(np.asarray(out["rgb_values"]).reshape(-1, 3), 0, 1)
+        ks = np.full_like(kd, 0.04)
+        rough = np.full(kd.shape[0], 0.5, np.float32)
+        nrm = np.asarray(normals)
+        mats = pd.edited_materials(kd, ks, rough[:, None], nrm)
+        kd, ks = mats["kd"], mats["ks"]
+        rough = mats["rough"].reshape(-1)
+        normals = jnp.asarray(mats["normal"])
+        normals = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+
+        n = kd.shape[0]
+        diff = np.empty((n, 3), np.float32)
+        spec = np.empty((n, 3), np.float32)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            pad = chunk - (e - s)
+            sl = slice(s, e)
+            key, k = jax.random.split(key)
+
+            def padded(a):
+                a = jnp.asarray(a[sl], jnp.float32)
+                return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+            o = shade_chunk(k, padded(np.asarray(pts)),
+                            padded(np.asarray(normals)),
+                            padded(np.asarray(view_dirs)),
+                            padded(kd), padded(ks), padded(rough))
+            diff[sl] = np.asarray(o["color_diffuse"])[: e - s]
+            spec[sl] = np.asarray(o["color_specular"])[: e - s]
+
+        relit = diff + spec
+        tag = f"{idx:04d}"
+        for name, img in (("relit", relit), ("diffuse", diff),
+                          ("specular", spec)):
+            artifacts.write_rgb(
+                os.path.join(out_dir, f"{tag}_{name}.png"),
+                np.clip(linear_to_srgb(img.reshape(H, W, 3)), 0, 1))
+        results.append({"idx": idx, "mean_radiance": float(relit.mean())})
+        print(f"[relight {tag}] mean={relit.mean():.4f}")
+
+    return {"emitters": emitters.count, "images": results,
+            "out_dir": out_dir}

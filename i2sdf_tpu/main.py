@@ -15,6 +15,14 @@ Usage:
     python -m i2sdf_tpu.main --conf ... --test --test_mode mesh --score
     python -m i2sdf_tpu.main --conf ... --test --test_mode interpolate \
         --inter_id 3 14
+    python -m i2sdf_tpu.main --conf ... --test --test_mode relight \
+        --spp 16 --n_emitters 1 [--edit_conf edits.yml]
+
+`relight` goes BEYOND the reference CLI (its editing branch was never
+released; `model/rendering/__init__.py:42` calls an undefined
+`get_incident_radiance`): here the pipeline is completed with
+light-mask emitter clustering and sphere-traced visibility
+(eval/relight.py).
 """
 
 from __future__ import annotations
@@ -35,7 +43,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", default="data")
     p.add_argument("--test", action="store_true")
     p.add_argument("--test_mode", default="render",
-                   choices=["render", "mesh", "interpolate"])
+                   choices=["render", "mesh", "interpolate", "relight"])
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--inter_id", type=int, nargs=2, default=[0, 1])
     p.add_argument("--indices", type=int, nargs="*", default=None)
@@ -51,6 +59,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--spp", type=int, default=64,
                    help="samples per pixel (editing/relight branch)")
+    p.add_argument("--edit_conf", default=None,
+                   help="YAML with material override maps for relight "
+                        "(keys: mask/normal/rough/kd/ks -> image paths)")
+    p.add_argument("--n_emitters", type=int, default=1)
+    p.add_argument("--emitter_scale", type=float, default=1.0)
     p.add_argument("--device_ids", type=int, nargs="*", default=None,
                    help="accepted for reference-CLI parity; device choice "
                         "is jax.devices() on TPU")
@@ -149,6 +162,21 @@ def main(argv=None) -> int:
                           n_frames=args.n_frames,
                           frame_rate=args.frame_rate,
                           data_root=args.data_root, fused=fused)
+    elif args.test_mode == "relight":
+        from .eval.relight import run_relight
+
+        edit_conf = None
+        if args.edit_conf:
+            import yaml
+
+            with open(args.edit_conf) as f:
+                edit_conf = yaml.safe_load(f)
+        run_relight(params, model_cfg, conf, exp_dir,
+                    data_root=args.data_root, indices=args.indices,
+                    spp=args.spp, n_emitters=args.n_emitters,
+                    emitter_scale=args.emitter_scale,
+                    edit_conf=edit_conf, fused=fused,
+                    full_res=args.full_res, seed=args.seed)
     return 0
 
 

@@ -105,6 +105,8 @@ _SLOW_NODES = (
     "test_train_step.py::test_train_step_descends",
     "test_train_step.py::test_fused_train_step_matches_xla",
     "test_pallas_train.py",
+    "test_relight.py::test_run_relight_end_to_end",
+    "test_relight.py::test_find_emitters",
     "test_renderer.py::test_fused_train_grad_v3_matches_xla",
     "test_train_step.py::test_bubble_step_updates_pdf",
     "test_sampler.py::test_shapes_sorted_in_range",
