@@ -9,8 +9,12 @@ differentiation, Adam — at the reference's shipped batch size
 Baseline: the reference publishes no absolute throughput (BASELINE.md).
 We use an estimated A6000 reference throughput of 4 steps/s x 1600 rays
 = 6400 rays/s for `vs_baseline` (PyTorch step with ~5 sampler rounds +
-double-backward on an A6000; documented estimate, to be replaced by a
-measured number when reference hardware is available).
+double-backward on an A6000; documented estimate — reference hardware
+is not available in this environment). Measured same-hardware anchor:
+`scripts/bench_reference_torch.py` runs a clean-room torch re-creation
+of the reference step next to this framework's step on THIS machine's
+CPU — torch 4.3 rays/s vs jax 8.9 rays/s (2.05x on identical silicon),
+so the A6000 estimate is the only remaining assumption in vs_baseline.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

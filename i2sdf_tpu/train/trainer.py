@@ -301,6 +301,7 @@ class ReconstructionTrainer:
     def fit(self, max_steps: int | None = None, resume: bool = False,
             log_every: int = 50) -> None:
         max_steps = max_steps or self.max_steps
+        self._fit_max_steps = max_steps
         if resume:
             try:
                 bubble_template = None
@@ -360,9 +361,16 @@ class ReconstructionTrainer:
         step, metrics = pending[-1]
         vals = {k: float(v) for k, v in metrics.items()}
         sps = len(pending) / max(time.perf_counter() - t0, 1e-9)
-        print(f"[{step + 1}] loss={vals['loss']:.4f} "
+        # scan id + ETA in the progress line (the reference's
+        # RichProgressBarWithScanId column, utils/__init__.py:12-18)
+        total = getattr(self, '_fit_max_steps', self.max_steps)
+        remain = max(total - (step + 1), 0) / max(sps, 1e-9)
+        eta = (f"{remain / 3600:.1f}h" if remain >= 3600
+               else f"{remain / 60:.1f}m")
+        print(f"[scan{self.scan_id} {step + 1}/{total}] "
+              f"loss={vals['loss']:.4f} "
               f"psnr={vals['psnr']:.2f} ({sps:.1f} steps/s, "
-              f"{sps * self.batch_size:.0f} rays/s)")
+              f"{sps * self.batch_size:.0f} rays/s, eta {eta})")
         if self.tb:
             self.tb.add_scalar("train/loss", vals["loss"], step)
             self.tb.add_scalar("train/psnr", vals["psnr"], step)
