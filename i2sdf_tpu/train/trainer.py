@@ -463,7 +463,7 @@ class ReconstructionTrainer:
             for k, v in result.items():
                 self.tb.add_scalar(f"val/{k}", v, step)
         print(f"[val @{step}] " + " ".join(
-            f"{k}={v:.3f}" for k, v in result.items()))
+            f"{k}={v:.4g}" for k, v in result.items()))
         return result
 
     def save_checkpoint(self, step: int) -> None:
