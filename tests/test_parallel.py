@@ -185,3 +185,37 @@ def test_sharded_eval_render():
     out = render_image(params, uv, K, pose)
     assert out["rgb_values"].shape == (64, 3)
     assert bool(jnp.all(jnp.isfinite(out["rgb_values"])))
+
+
+@pytest.mark.multidevice
+def test_sharded_fused_train_step_matches_single_device(monkeypatch):
+    """The fused custom-VJP kernels (v2/v3) under the DP mesh: XLA's
+    SPMD partitioner must handle the pallas custom-calls (interpret
+    mode on CPU) and reproduce the single-device loss exactly."""
+    from functools import partial
+
+    from i2sdf_tpu.ops.pallas import fused_rev as _frev
+    from i2sdf_tpu.ops.pallas import fused_train as _ftrain
+
+    monkeypatch.setattr(
+        _ftrain, "render_core_fused",
+        partial(_ftrain.render_core_fused, block_rows=8, interpret=True))
+    monkeypatch.setattr(
+        _frev, "sdf_outputs_fused_rev",
+        partial(_frev.sdf_outputs_fused_rev, block_rows=8,
+                interpret=True))
+
+    cfg, state, tx, w = setup()
+    data = make_data()
+    mesh = make_mesh(8)
+    state_m = state._replace(params=replicate_params(mesh, state.params))
+    step_m = make_train_step(cfg, tx, batch_size=32, mesh=mesh,
+                             donate=False, fused_sampler=False,
+                             fused_train_grad=True)
+    step_1 = make_train_step(cfg, tx, batch_size=32, donate=False,
+                             fused_sampler=False, fused_train_grad=True)
+    key = jax.random.PRNGKey(5)
+    _, m_m = step_m(state_m, data, key, w)
+    _, m_1 = step_1(state, data, key, w)
+    np.testing.assert_allclose(float(m_m["loss"]), float(m_1["loss"]),
+                               rtol=1e-4)
