@@ -73,7 +73,7 @@ def run_render_eval(params, model_cfg, conf, exp_dir: str,
         if lp:
             m["lpips"] = lp(pred, gt)
         rows.append(m)
-        print(f"[{tag}] " + " ".join(f"{k}={v:.3f}" for k, v in m.items()))
+        print(f"[{tag}] " + " ".join(f"{k}={v:.4g}" for k, v in m.items()))
 
     keys = rows[0].keys()
     means = {k: float(np.mean([r[k] for r in rows])) for k in keys}
@@ -85,11 +85,11 @@ def run_render_eval(params, model_cfg, conf, exp_dir: str,
                     " not comparable to published LPIPS)\n")
         for i, r in enumerate(rows):
             f.write(f"[{i:04d}] " + " ".join(
-                f"[{k.upper()}]{v:.2f}" for k, v in r.items()) + "\n")
+                f"[{k.upper()}]{v:.4g}" for k, v in r.items()) + "\n")
         f.write("[MEAN] " + " ".join(
-            f"[{k.upper()}]{v:.2f}" for k, v in means.items()) + "\n")
+            f"[{k.upper()}]{v:.4g}" for k, v in means.items()) + "\n")
     np.savez_compressed(
         os.path.join(out_dir, "metrics.npz"),
         **{k: np.array([r[k] for r in rows]) for k in keys})
-    print(f"[MEAN] " + " ".join(f"{k}={v:.3f}" for k, v in means.items()))
+    print(f"[MEAN] " + " ".join(f"{k}={v:.4g}" for k, v in means.items()))
     return means
