@@ -55,6 +55,14 @@ class SamplerConfig:
     inverse_sphere_bg: bool = False
     N_samples_inverse_sphere: int = 32
     add_tiny: float = 1e-6
+    # reclaim the reference's global-convergence short-circuit
+    # (ray_sampler.py:84,151: the while loop stops once every ray's
+    # error bound is <= eps) in fixed-shape form: converged refinement
+    # rounds become a lax.cond passthrough that emits DUPLICATE samples
+    # (zero-width sections — harmless to the final weights pdf) and
+    # skips both the SDF evaluation and the round kernel. The final
+    # weights-pdf round always runs.
+    early_exit: bool = False
 
     @property
     def far(self) -> float:
@@ -206,10 +214,21 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
         lambda z, s, b, b0, u, final: round_update(cfg, z, s, b, b0, u,
                                                    final))
 
+    converged = jnp.asarray(False)  # round 0 always runs
     for it in range(cfg.max_total_iters):
-        # SDF for only-new samples, merged in sorted order
+        # SDF for only-new samples, merged in sorted order. Under
+        # early_exit, a converged previous round emitted duplicates of
+        # existing z-values, so their SDF is a copy, not an evaluation.
         pts = cam_loc[:, None, :] + samples[..., None] * ray_dirs[:, None, :]
-        new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(samples.shape)
+        n_new = samples.shape[1]
+        if cfg.early_exit and sdf is not None:
+            new_sdf = jax.lax.cond(
+                converged,
+                lambda z, s: s[:, :n_new],
+                lambda z, s: sdf_fn(z.reshape(-1, 3)).reshape(samples.shape),
+                pts, sdf)
+        else:
+            new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(samples.shape)
         if sdf is None:
             sdf = new_sdf
             # z_vals already == samples (sorted by construction)
@@ -230,7 +249,19 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
         else:
             u = jnp.broadcast_to(
                 jnp.linspace(0.0, 1.0, cfg.N_samples), (R, cfg.N_samples))
-        samples, beta = impl(z_vals, sdf, beta, beta0, u, final)
+        if cfg.early_exit and not final:
+            # global-convergence check at the reference's beta0
+            # (ray_sampler.py:121-122,151): cheap XLA-side bound
+            d_star, dists = _d_star(z_vals, sdf)
+            err = _get_error_bound(beta0, sdf, z_vals, dists, d_star)
+            converged = jnp.all(err <= cfg.eps)
+            samples, beta = jax.lax.cond(
+                converged,
+                lambda z, s, b, u_: (z[:, :cfg.N_samples_eval], b),
+                lambda z, s, b, u_: impl(z, s, b, beta0, u_, False),
+                z_vals, sdf, beta, u)
+        else:
+            samples, beta = impl(z_vals, sdf, beta, beta0, u, final)
         if final:
             final_samples = samples
 
