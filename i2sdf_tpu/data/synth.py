@@ -149,8 +149,14 @@ def generate_synthetic_scene(
         ang = 2 * np.pi * i / n_images
         eye = np.array([1.2 * np.cos(ang), 0.15 * np.sin(2 * ang),
                         1.2 * np.sin(ang)])
-        target = np.array([0.25 * np.cos(ang + 2.2), -0.3,
-                           0.25 * np.sin(ang + 2.2)])
+        if n_images >= 4 and i % 4 == 3:
+            # every 4th view tilts toward the ceiling so the emitter
+            # patch (is_emitter: y>1.95) gets light-mask coverage
+            target = np.array([0.2 * np.cos(ang + 2.2), 1.6,
+                               0.2 * np.sin(ang + 2.2)])
+        else:
+            target = np.array([0.25 * np.cos(ang + 2.2), -0.3,
+                               0.25 * np.sin(ang + 2.2)])
         pose = _look_at(eye, target)
 
         # rays (same math as utils.cameras but host-side for clarity)
