@@ -166,3 +166,12 @@ def test_mid_bubble_resume_restores_pdf(workdir):
     assert "Resumed from step 25" in proc.stdout
     assert "Bubble pdf restored from checkpoint" in proc.stdout
     assert "Initializing pointcloud PDF" not in proc.stdout
+
+
+def test_relight_mode(workdir, trained):
+    run_cli(workdir, "--version", "0", "--test", "--test_mode", "relight",
+            "--indices", "0", "--spp", "2", "--n_emitters", "1")
+    out = trained / "eval" / "relight"
+    assert (out / "0000_relit.png").exists()
+    assert (out / "0000_diffuse.png").exists()
+    assert (out / "0000_specular.png").exists()
