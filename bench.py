@@ -1,10 +1,12 @@
 """Benchmark: training rays/sec/chip on the flagship (synthetic.yml) config.
 
 Runs the full jitted train step — on-device ray-batch gather, 5-round
-error-bounded sampling (the reference's worst-case sample budget:
-~640 no-grad SDF evals/ray), forward, all losses, eikonal double
-differentiation, Adam — at the reference's shipped batch size
-(1600 rays/step, `/root/reference/config/synthetic.yml:8`).
+error-bounded sampling (capacity for the reference's worst case of
+~640 no-grad SDF evals/ray; converged rounds short-circuit via
+lax.cond exactly like the reference's while-loop), forward, all
+losses, eikonal double differentiation, Adam — at the reference's
+shipped batch size (1600 rays/step,
+`/root/reference/config/synthetic.yml:8`).
 
 Baseline: the reference publishes no absolute throughput (BASELINE.md).
 We use an estimated A6000 reference throughput of 4 steps/s x 1600 rays

@@ -148,7 +148,7 @@ class I2SDFConfig:
             inverse_sphere_bg="bg_network" in conf,
             N_samples_inverse_sphere=rs.get("N_samples_inverse_sphere", 32),
             add_tiny=rs.get("add_tiny", 0.0),
-            early_exit=rs.get("early_exit", False),
+            early_exit=rs.get("early_exit", True),
         )
         return cls(
             feature_vector_size=fvs,
