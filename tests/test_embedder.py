@@ -34,8 +34,11 @@ def test_pe_block_layout_is_permutation_of_reference():
         parts += [np.sin(x * f), np.cos(x * f)]
     ref = np.concatenate(parts, axis=-1)
     perm = pe_permutation_from_reference(multires=3, input_dims=3)
-    np.testing.assert_allclose(np.asarray(embed(jnp.asarray(x))),
-                               ref[:, perm], atol=1e-6)
+    # pin f32: the x @ B basis matmul runs bf16 under TPU DEFAULT
+    # precision (fine in production, too coarse for a 1e-6 assert)
+    with jax.default_matmul_precision("float32"):
+        y = np.asarray(embed(jnp.asarray(x)))
+    np.testing.assert_allclose(y, ref[:, perm], atol=1e-6)
 
 
 def test_pe_frequencies_log_spaced():
