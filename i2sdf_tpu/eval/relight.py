@@ -28,7 +28,6 @@ completes the pipeline so `--test_mode relight` WORKS end to end:
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
 import jax.numpy as jnp
