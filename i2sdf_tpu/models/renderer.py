@@ -275,6 +275,26 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
 
     returns_grad = cfg.use_normal or (not training) or cfg.rendering.mode == "idr"
     rgb_flat = None
+    eik_all = None
+    grad_theta_folded = None
+    if training and not predict_only:
+        # eikonal points: uniform in the bounding cube + near-surface +
+        # jittered neighbors (parity network/__init__.py:176-193) —
+        # built BEFORE the render forward so the v3 fused path can fold
+        # them into the same kernel batch (one launch pair instead of two)
+        n_eik = R
+        eik_uniform = jax.random.uniform(
+            k_eik, (n_eik, 3),
+            minval=-cfg.scene_bounding_sphere,
+            maxval=cfg.scene_bounding_sphere)
+        eik_near = (cam_loc[:, None, :]
+                    + z_samples_eik[..., None] * ray_dirs[:, None, :]
+                    ).reshape(-1, 3)
+        n_near = eik_near.shape[0]
+        neighbors = eik_near + jax.random.uniform(
+            k_jitter, eik_near.shape, minval=-0.005, maxval=0.005)
+        eik_all = jnp.concatenate([eik_uniform, eik_near, neighbors],
+                                  axis=0)
     if not training and fused_sampler:
         # eval never differentiates w.r.t. params: the whole-render v3
         # forward yields sdf/normals/rgb in ONE launch on nerf/no-light
@@ -305,10 +325,23 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
                 and not cfg.use_light):
             # whole-render fused kernel (v3): SDF + radiance MLP fwd/bwd
             # in one launch each — the (N, feat) feature tensor never
-            # leaves VMEM (docs/PERFORMANCE.md)
-            sdf, gradients, rgb_flat = render_core_fused(
+            # leaves VMEM (docs/PERFORMANCE.md). The eikonal points ride
+            # in the same batch (rgb/sdf rows of those points are unused,
+            # so their cotangents are zero).
+            n_main = points_flat.shape[0]
+            if eik_all is not None:
+                pts_in = jnp.concatenate([points_flat, eik_all], axis=0)
+                dirs_in = jnp.concatenate(
+                    [dirs_flat, jnp.zeros_like(eik_all)], axis=0)
+            else:
+                pts_in, dirs_in = points_flat, dirs_flat
+            sdf_a, grad_a, rgb_a = render_core_fused(
                 params["implicit"], cfg.implicit, params["rendering"],
-                cfg.rendering, points_flat, dirs_flat)
+                cfg.rendering, pts_in, dirs_in)
+            sdf, gradients, rgb_flat = (sdf_a[:n_main], grad_a[:n_main],
+                                        rgb_a[:n_main])
+            if eik_all is not None:
+                grad_theta_folded = grad_a[n_main:]
             feature_vectors = None
         else:
             # SDF-only custom-VJP fused forward (v2), radiance in XLA:
@@ -379,28 +412,16 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
         return output
 
     if training:
-        # eikonal points: uniform in the bounding cube + near-surface +
-        # jittered neighbors (parity network/__init__.py:176-193)
-        n_eik = R
-        eik_uniform = jax.random.uniform(
-            k_eik, (n_eik, 3),
-            minval=-cfg.scene_bounding_sphere,
-            maxval=cfg.scene_bounding_sphere)
-        eik_near = (cam_loc[:, None, :]
-                    + z_samples_eik[..., None] * ray_dirs[:, None, :]
-                    ).reshape(-1, 3)
-        n_near = eik_near.shape[0]
-        neighbors = eik_near + jax.random.uniform(
-            k_jitter, eik_near.shape, minval=-0.005, maxval=0.005)
-        all_pts = jnp.concatenate([eik_uniform, eik_near, neighbors], axis=0)
-        if fused_train_grad:
+        if grad_theta_folded is not None:
+            grad_theta = grad_theta_folded
+        elif fused_train_grad:
             from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
 
             grad_theta = sdf_outputs_fused_rev(
-                params["implicit"], cfg.implicit, all_pts)[2]
+                params["implicit"], cfg.implicit, eik_all)[2]
         else:
             grad_theta = mlp.sdf_gradient(
-                params["implicit"], cfg.implicit, all_pts)
+                params["implicit"], cfg.implicit, eik_all)
         output["grad_theta"] = grad_theta[: n_eik + n_near]
         normals_pair = safe_normalize(grad_theta[n_eik:])
         output["diff_norm"] = safe_norm(
