@@ -18,27 +18,196 @@ of the reference step next to this framework's step on THIS machine's
 CPU — torch 4.3 rays/s vs jax 8.9 rays/s (2.05x on identical silicon),
 so the A6000 estimate is the only remaining assumption in vs_baseline.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Robustness (round-2): the TPU tunnel in this environment can be flaky —
+round 1's driver capture failed with "Unable to initialize backend
+'axon': UNAVAILABLE" / a hanging `jax.devices()`. The parent process
+therefore NEVER imports jax; it probes backend availability in a
+subprocess under a hard timeout, retries with exponential backoff over
+a multi-minute window, falls back from the pinned `JAX_PLATFORMS=axon`
+to auto-pick (the same trick `__graft_entry__.py` uses), and on
+persistent failure prints a structured error JSON so the driver
+artifact is diagnosable instead of a raw traceback.
+
+Env knobs: BENCH_STEPS (timed steps, default 20), BENCH_WINDOW (total
+retry window in seconds, default 1500), BENCH_INIT_TIMEOUT (per-probe
+timeout, default 180), BENCH_CHILD_TIMEOUT (measurement timeout,
+default 1800), BENCH_ALLOW_CPU=1 (permit a CPU-backend measurement as
+a last resort — off by default because a CPU number is not the
+headline metric).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}
+(+ diagnostic keys: "platform", "error"/"attempts" on failure).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
-
 BASELINE_RAYS_PER_SEC = 6400.0  # estimated A6000 reference (see docstring)
+
+_PROBE_SRC = ("import jax; d = jax.devices(); "
+              "print(d[0].platform, len(d))")
+
+
+def _log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _probe(env, timeout):
+    """Try to initialize the jax backend in a subprocess.
+
+    Returns ((platform, n_devices), None) on success, (None, err) on
+    failure — including the hang mode, which a hard timeout converts
+    into a retryable failure instead of wedging the driver.
+    """
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC], env=env,
+            capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, f"backend init hang (>{timeout:.0f}s)"
+    if p.returncode != 0:
+        lines = (p.stdout + p.stderr).strip().splitlines()
+        return None, lines[-1][-300:] if lines else f"rc={p.returncode}"
+    try:
+        platform, n = p.stdout.split()[-2:]
+        return (platform, int(n)), None
+    except (ValueError, IndexError):
+        return None, f"unparseable probe output: {p.stdout[-200:]!r}"
+
+
+def _candidate_envs():
+    """(name, env) candidates, most-preferred first."""
+    pinned = dict(os.environ)
+    auto = dict(os.environ)
+    auto["JAX_PLATFORMS"] = ""
+    cands = []
+    # If the TPU plugin's registration prerequisites are missing while
+    # JAX_PLATFORMS still pins it, pinned init fails instantly — prefer
+    # auto-pick in that case (same trick as __graft_entry__.py).
+    if (os.environ.get("JAX_PLATFORMS") == "axon"
+            and not os.environ.get("PALLAS_AXON_POOL_IPS")):
+        cands.append(("auto", auto))
+    cands.append(("pinned", pinned))
+    if not any(n == "auto" for n, _ in cands):
+        cands.append(("auto", auto))
+    # Last resort: an environment with the TPU plugin fully stripped.
+    # Only ever yields the CPU backend (used by the BENCH_ALLOW_CPU
+    # fallback) but, unlike auto-pick, cannot hang on a wedged tunnel.
+    try:
+        import __graft_entry__
+        cands.append(("cpu-sanitized",
+                      __graft_entry__._sanitized_cpu_env(1)))
+    except Exception:
+        pass
+    return cands
+
+
+def _emit(obj):
+    print(json.dumps(obj))
 
 
 def main():
+    allow_cpu = os.environ.get("BENCH_ALLOW_CPU") == "1"
+    window = float(os.environ.get("BENCH_WINDOW", "1500"))
+    probe_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "180"))
+    child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "1800"))
+    deadline = time.time() + window
+
+    attempts = []
+    chosen = None  # (name, env, platform)
+    cpu_fallback = None
+    backoff = 60.0
+    while chosen is None:
+        for name, env in _candidate_envs():
+            res, err = _probe(env, probe_timeout)
+            attempts.append({"mode": name,
+                             "result": list(res) if res else err})
+            _log(f"[bench] probe {name}: {res or err}")
+            if res is None:
+                continue
+            if res[0] == "cpu":
+                cpu_fallback = (name, env, res[0])
+            else:
+                chosen = (name, env, res[0])
+                break
+        if chosen:
+            break
+        sleep = min(backoff, deadline - time.time())
+        if sleep <= 0:
+            break
+        _log(f"[bench] no accelerator backend; retrying in {sleep:.0f}s "
+             f"({deadline - time.time():.0f}s left in window)")
+        time.sleep(sleep)
+        backoff = min(backoff * 2.0, 300.0)
+
+    if chosen is None and cpu_fallback is not None and allow_cpu:
+        _log("[bench] BENCH_ALLOW_CPU=1: measuring on the CPU backend")
+        chosen = cpu_fallback
+
+    if chosen is None:
+        _emit({
+            "metric": "train_rays_per_sec_per_chip",
+            "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+            "error": "no accelerator backend initialized within "
+                     f"{window:.0f}s retry window (TPU tunnel down?)",
+            "attempts": attempts,
+        })
+        return 0
+
+    name, env, platform = chosen
+    _log(f"[bench] running measurement on platform={platform} ({name})")
+    last_err = None
+    for trial in range(3):
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env, capture_output=True, text=True,
+                timeout=child_timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            last_err = f"measurement hang (>{child_timeout:.0f}s)"
+            _log(f"[bench] trial {trial}: {last_err}")
+            continue
+        sys.stderr.write(p.stderr)
+        if p.returncode == 0:
+            for line in reversed(p.stdout.strip().splitlines()):
+                try:
+                    result = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            else:
+                last_err = f"no JSON in child stdout: {p.stdout[-200:]!r}"
+                continue
+            result["platform"] = platform
+            _emit(result)
+            return 0
+        lines = (p.stdout + p.stderr).strip().splitlines()
+        last_err = lines[-1][-300:] if lines else f"rc={p.returncode}"
+        _log(f"[bench] trial {trial} failed: {last_err}")
+        time.sleep(30.0 * (trial + 1))
+
+    _emit({
+        "metric": "train_rays_per_sec_per_chip",
+        "value": 0.0, "unit": "rays/s", "vs_baseline": 0.0,
+        "error": f"measurement failed on {platform}: {last_err}",
+        "attempts": attempts,
+    })
+    return 0
+
+
+def child_main():
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.jax_cache"))
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from i2sdf_tpu.config import CfgNode, load_cfg
+    from i2sdf_tpu.config import load_cfg
     from i2sdf_tpu.data.recon import DeviceArrays
     from i2sdf_tpu.models import renderer
     from i2sdf_tpu.models.losses import LossConfig
@@ -93,7 +262,8 @@ def main():
     state, metrics = step(state, data, k, w)
     float(metrics["loss"])
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    default_steps = "20" if jax.default_backend() != "cpu" else "2"
+    n_steps = int(os.environ.get("BENCH_STEPS", default_steps))
     t0 = time.perf_counter()
     for _ in range(n_steps):
         key, k = jax.random.split(key)
@@ -109,7 +279,10 @@ def main():
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
     }
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
+    if "--child" in sys.argv:
+        sys.exit(child_main())
     sys.exit(main())

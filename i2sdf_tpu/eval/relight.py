@@ -179,7 +179,8 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
     returns the emitter summary."""
     dataset_conf = dict(conf.dataset)
     scan_id = dataset_conf.pop("scan_id", 0)
-    downsample = 1 if full_res else dataset_conf.pop("downsample", 1)
+    ds = dataset_conf.pop("downsample", 1)  # always pop: also passed
+    downsample = 1 if full_res else ds      # explicitly below
     dataset_conf.pop("data_root", None)
 
     rd = ReconData(scan_id=scan_id, data_root=data_root, use_depth=True,

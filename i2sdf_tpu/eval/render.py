@@ -27,7 +27,8 @@ def run_render_eval(params, model_cfg, conf, exp_dir: str,
                     fused: bool | None = None) -> dict:
     dataset_conf = dict(conf.dataset)
     scan_id = dataset_conf.pop("scan_id", 0)
-    downsample = 1 if full_res else dataset_conf.pop("downsample", 1)
+    ds = dataset_conf.pop("downsample", 1)  # always pop: also passed
+    downsample = 1 if full_res else ds      # explicitly below
     dataset_conf.pop("data_root", None)
     pd = PlotData(scan_id=scan_id, data_root=data_root,
                   downsample=downsample, indices=indices, plot_nimgs=-1,

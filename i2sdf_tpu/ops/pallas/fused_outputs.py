@@ -24,7 +24,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -102,31 +101,11 @@ def fused_sdf_outputs(params, cfg: ImplicitNetConfig, points: jnp.ndarray,
     feat_dim = cfg.feature_vector_size
     out_cols = _round_up(1 + feat_dim, _LANES)
 
-    embed = cfg.embed_fn()
-    if embed is not None:
-        feats = embed(points)
-        # analytic embedding tangents: d/dx_k of [x, sin(fx), cos(fx), ...]
-        # layout matches embedder.py: [x, sin(f0 x), cos(f0 x), ...]
-        multires = cfg.multires
-        freqs = 2.0 ** np.linspace(0.0, multires - 1, multires)
-        cols = []
-        one = jnp.ones_like(points[:, :1])
-        eye = [jnp.concatenate([one if i == k else 0 * one
-                                for i in range(3)], axis=-1)
-               for k in range(3)]
-        tangents = []
-        for k in range(3):
-            parts = [eye[k]]
-            for f in freqs:
-                c = jnp.cos(points * f) * f * eye[k]
-                s = -jnp.sin(points * f) * f * eye[k]
-                parts.append(c)   # d sin(fx) = f cos(fx)
-                parts.append(s)   # d cos(fx) = -f sin(fx)
-            tangents.append(jnp.concatenate(parts, axis=-1))
-    else:
-        feats = points
-        tangents = [
-            jnp.zeros_like(points).at[:, k].set(1.0) for k in range(3)]
+    # Block-layout PE ([x | sin dim-major | cos dim-major], embedder.py)
+    # + matching analytic tangents; shared with the training-path kernels.
+    from .fused_grad import _embed_with_tangents
+
+    feats, tangents = _embed_with_tangents(cfg, points)
     emb_dim = feats.shape[-1]
     emb_pad = _round_up(emb_dim, _LANES)
 

@@ -18,8 +18,17 @@ CLAMPED = ImplicitNetConfig(
     feature_vector_size=8, sdf_bounding_sphere=1.5,
     dims=(32, 32), geometric_init=False, embed_type=None)
 
+# geometric_init=False with positional PE: nonzero first-layer PE rows, so
+# the gradient check is sensitive to the tangent column layout (the
+# geometric init zeroes all PE rows and would mask a layout mismatch).
+NONGEO_PE = ImplicitNetConfig(
+    feature_vector_size=16, sdf_bounding_sphere=0.0,
+    dims=(64, 64, 64), skip_in=(2,), geometric_init=False,
+    embed_type="positional", multires=4)
 
-@pytest.mark.parametrize("cfg", [SMALL, CLAMPED], ids=["small", "clamped"])
+
+@pytest.mark.parametrize("cfg", [SMALL, CLAMPED, NONGEO_PE],
+                         ids=["small", "clamped", "nongeo_pe"])
 def test_fused_outputs_match_xla(cfg):
     params = implicit_net_init(jax.random.PRNGKey(0), cfg)
     pts = jax.random.normal(jax.random.PRNGKey(1), (200, 3))
