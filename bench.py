@@ -218,6 +218,21 @@ def child_main():
     batch_size = conf.train.batch_size
     model_node = conf.model
     model_node.use_normal = True
+    # measurement knobs: BENCH_BETA pins the initial learned beta (the
+    # sampler's cost regime varies across the schedule — see
+    # docs/PERFORMANCE.md); BENCH_PER_RAY=1 enables the per-ray
+    # compacted sampler at the beta-matched capacity phase.
+    if os.environ.get("BENCH_BETA"):
+        model_node.density.params_init.beta = float(
+            os.environ["BENCH_BETA"])
+    if os.environ.get("BENCH_PER_RAY") == "1":
+        from i2sdf_tpu.train.step import per_ray_fracs_for_beta
+
+        fracs = per_ray_fracs_for_beta(
+            abs(model_node.density.params_init.beta))
+        if fracs is not None:
+            model_node.ray_sampler.per_ray_exit = True
+            model_node.ray_sampler.per_ray_fracs = list(fracs)
     cfg = renderer.I2SDFConfig.from_cfgnode(model_node)
     params = renderer.init(jax.random.PRNGKey(0), cfg)
 

@@ -149,6 +149,9 @@ class I2SDFConfig:
             N_samples_inverse_sphere=rs.get("N_samples_inverse_sphere", 32),
             add_tiny=rs.get("add_tiny", 0.0),
             early_exit=rs.get("early_exit", True),
+            per_ray_exit=rs.get("per_ray_exit", False),
+            per_ray_fracs=tuple(rs.get("per_ray_fracs",
+                                        (1.0, 0.5, 0.5, 0.5))),
         )
         return cls(
             feature_vector_size=fvs,

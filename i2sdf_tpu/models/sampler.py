@@ -68,6 +68,27 @@ class SamplerConfig:
     # the first 500 real training steps on v5e with identical
     # loss/psnr trajectory.
     early_exit: bool = True
+    # Per-RAY early exit via batch compaction (beyond the reference,
+    # whose convergence short-circuit is global only): each refinement
+    # round marks rays whose beta0 error bound is already <= eps, then
+    # the next round's ENTIRE body (MLP eval + merge-sort + error bound
+    # + pdf resampling) runs only on a statically-capped compact subset
+    # of rays (unconverged ranked first, gathered/scattered around the
+    # round). Unselected rays skip the round: their state arrays widen
+    # with sort-free duplicates of their far z-value (zero-width
+    # trailing sections, invisible to the downstream pdfs).
+    # `per_ray_fracs[i]` caps round i+1 to ceil(frac*R) rays (round 0
+    # is always full; a short tuple repeats its last entry; fracs >= 1
+    # disable compaction for that round). jnp.all() is an extreme
+    # statistic — measured on the 200k checkpoint (scripts/
+    # diag_per_ray.py), mid-schedule betas leave the global exit cold
+    # while 31-90% of rays are individually converged after round 1-2.
+    # Unconverged rays beyond the cap skip one round and remain
+    # candidates the next; the final weights-pdf round always runs for
+    # every ray. Default OFF until per-phase capacities are applied by
+    # the trainer (see train/step.py).
+    per_ray_exit: bool = False
+    per_ray_fracs: tuple = (1.0, 0.5, 0.5, 0.5)
 
     @property
     def far(self) -> float:
@@ -219,56 +240,135 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
         lambda z, s, b, b0, u, final: round_update(cfg, z, s, b, b0, u,
                                                    final))
 
+    # Per-ray compaction capacities: caps[it] bounds the number of rays
+    # whose samples emitted at round `it` get a full refinement round
+    # (MLP eval + merge-sort + error bound + pdf resampling) at round
+    # it+1. The round-0 uniform init is always full. Rays outside the
+    # selection skip the ENTIRE round body: their state arrays widen
+    # with sort-free duplicates of their last (far) z-value — zero-width
+    # trailing sections, invisible to the downstream pdfs.
+    per_ray = cfg.per_ray_exit and cfg.early_exit
+    fracs = tuple(cfg.per_ray_fracs) or (1.0,)
+    caps = []
+    for it in range(cfg.max_total_iters - 1):
+        f = fracs[min(it, len(fracs) - 1)]
+        caps.append(R if f >= 1.0 else max(1, int(math.ceil(f * R))))
+
+    conv_ray = jnp.zeros((R,), bool)
     converged = jnp.asarray(False)  # round 0 always runs
+    sel = None  # rows being refined this round (compacted mode)
     for it in range(cfg.max_total_iters):
-        # SDF for only-new samples, merged in sorted order. Under
-        # early_exit, a converged previous round emitted duplicates of
-        # existing z-values, so their SDF is a copy, not an evaluation.
-        pts = cam_loc[:, None, :] + samples[..., None] * ray_dirs[:, None, :]
+        final = it == cfg.max_total_iters - 1
         n_new = samples.shape[1]
-        if cfg.early_exit and sdf is not None:
+
+        # --- evaluate + merge ---------------------------------------------
+        if sdf is None:
+            # round 0: full evaluation of the uniform init
+            pts = (cam_loc[:, None, :]
+                   + samples[..., None] * ray_dirs[:, None, :])
+            sdf = sdf_fn(pts.reshape(-1, 3)).reshape(samples.shape)
+            z_sel = s_sel = None  # z_vals already == samples (sorted)
+        elif sel is not None:
+            # compacted round: `samples` is (C, n_new) for rows `sel`.
+            # Under global convergence the emitted samples were leading-
+            # column duplicates, so their SDF is a copy, and the MLP is
+            # skipped entirely.
+            zg, sg = z_vals[sel], sdf[sel]
+            pts = (cam_loc[sel][:, None, :]
+                   + samples[..., None] * ray_dirs[sel][:, None, :])
             new_sdf = jax.lax.cond(
                 converged,
-                lambda z, s: s[:, :n_new],
-                lambda z, s: sdf_fn(z.reshape(-1, 3)).reshape(samples.shape),
-                pts, sdf)
+                lambda p, s: s[:, :n_new],
+                lambda p, s: sdf_fn(p.reshape(-1, 3)).reshape(samples.shape),
+                pts, sg)
+            z_sel, s_sel = jax.lax.sort(
+                (jnp.concatenate([zg, samples], axis=-1),
+                 jnp.concatenate([sg, new_sdf], axis=-1)),
+                dimension=-1, num_keys=1)
+            # widen every ray's state with far-duplicates (keeps arrays
+            # sorted without a sort), then scatter the refined rows
+            z_vals = jnp.concatenate(
+                [z_vals, jnp.broadcast_to(z_vals[:, -1:], (R, n_new))],
+                axis=-1).at[sel].set(z_sel)
+            sdf = jnp.concatenate(
+                [sdf, jnp.broadcast_to(sdf[:, -1:], (R, n_new))],
+                axis=-1).at[sel].set(s_sel)
         else:
-            new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(samples.shape)
-        if sdf is None:
-            sdf = new_sdf
-            # z_vals already == samples (sorted by construction)
-        else:
+            # full round
+            pts = (cam_loc[:, None, :]
+                   + samples[..., None] * ray_dirs[:, None, :])
+            if cfg.early_exit:
+                new_sdf = jax.lax.cond(
+                    converged,
+                    lambda z, s: s[:, :n_new],
+                    lambda z, s: sdf_fn(z.reshape(-1, 3)).reshape(
+                        samples.shape),
+                    pts, sdf)
+            else:
+                new_sdf = sdf_fn(pts.reshape(-1, 3)).reshape(samples.shape)
             # one key+payload sort instead of argsort + two gathers
             z_vals, sdf = jax.lax.sort(
                 (jnp.concatenate([z_vals, samples], axis=-1),
                  jnp.concatenate([sdf, new_sdf], axis=-1)),
                 dimension=-1, num_keys=1)
+            z_sel = s_sel = None
 
-        final = it == cfg.max_total_iters - 1
-        if not final:
+        # --- final round: weights pdf over the full accumulated set -------
+        if final:
+            if training:
+                u = jax.random.uniform(keys[it + 1], (R, cfg.N_samples))
+            else:
+                u = jnp.broadcast_to(
+                    jnp.linspace(0.0, 1.0, cfg.N_samples),
+                    (R, cfg.N_samples))
+            final_samples, beta = impl(z_vals, sdf, beta, beta0, u, True)
+            continue
+
+        # --- convergence check (reference's beta0 bound,
+        #     ray_sampler.py:121-122,151) -----------------------------------
+        if cfg.early_exit:
+            if s_sel is not None:
+                # only refined rows can change convergence status
+                d_star, dists = _d_star(z_sel, s_sel)
+                err = _get_error_bound(beta0, s_sel, z_sel, dists, d_star)
+                conv_ray = conv_ray.at[sel].set(err <= cfg.eps)
+            else:
+                d_star, dists = _d_star(z_vals, sdf)
+                err = _get_error_bound(beta0, sdf, z_vals, dists, d_star)
+                conv_ray = err <= cfg.eps
+            converged = jnp.all(conv_ray)
+
+        # --- emit next round's samples ------------------------------------
+        cap = caps[it]
+        if per_ray and cap < R:
+            # rank rays unconverged-first (stable argsort keeps ray
+            # order deterministic); the first `cap` rays get the next
+            # refinement round
+            order = jnp.argsort(conv_ray)
+            sel = order[:cap]
+            zg, sg, bg = z_vals[sel], sdf[sel], beta[sel]
             u = jnp.broadcast_to(
                 jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
-                (R, cfg.N_samples_eval))
-        elif training:
-            u = jax.random.uniform(keys[it + 1], (R, cfg.N_samples))
-        else:
-            u = jnp.broadcast_to(
-                jnp.linspace(0.0, 1.0, cfg.N_samples), (R, cfg.N_samples))
-        if cfg.early_exit and not final:
-            # global-convergence check at the reference's beta0
-            # (ray_sampler.py:121-122,151): cheap XLA-side bound
-            d_star, dists = _d_star(z_vals, sdf)
-            err = _get_error_bound(beta0, sdf, z_vals, dists, d_star)
-            converged = jnp.all(err <= cfg.eps)
-            samples, beta = jax.lax.cond(
+                (cap, cfg.N_samples_eval))
+            samples, bg2 = jax.lax.cond(
                 converged,
                 lambda z, s, b, u_: (z[:, :cfg.N_samples_eval], b),
                 lambda z, s, b, u_: impl(z, s, b, beta0, u_, False),
-                z_vals, sdf, beta, u)
+                zg, sg, bg, u)
+            beta = beta.at[sel].set(bg2)
         else:
-            samples, beta = impl(z_vals, sdf, beta, beta0, u, final)
-        if final:
-            final_samples = samples
+            sel = None
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
+                (R, cfg.N_samples_eval))
+            if cfg.early_exit:
+                samples, beta = jax.lax.cond(
+                    converged,
+                    lambda z, s, b, u_: (z[:, :cfg.N_samples_eval], b),
+                    lambda z, s, b, u_: impl(z, s, b, beta0, u_, False),
+                    z_vals, sdf, beta, u)
+            else:
+                samples, beta = impl(z_vals, sdf, beta, beta0, u, False)
 
     # --- extras: near, far, and a subset of the accumulated set -------------
     near = jnp.full((R, 1), cfg.near, dtype=jnp.float32)

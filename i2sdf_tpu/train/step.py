@@ -32,6 +32,34 @@ def _auto_fused(fused_sampler):
     return fused_sampler
 
 
+# Per-ray sampler compaction phases: (beta_floor, per_ray_fracs) — the
+# first row whose floor < beta wins; `None` means plain global early
+# exit (it converges by round 1-2 at large beta, so compaction adds
+# only overhead there). Capacities are calibrated from the measured
+# per-round converged fractions on the 200k quality checkpoint
+# (scripts/diag_per_ray.py): e.g. at beta=0.03, 31% of rays converge
+# after round 1 and 90% after round 2, while the GLOBAL exit (jnp.all)
+# never fires — a 0.875/0.375/0.25 capacity ladder skips ~35% of all
+# sampler work with headroom over the measured unconverged fractions
+# (overflow rays just defer one round). The trainer re-specializes the
+# jitted step whenever the learned beta crosses a phase boundary
+# (a handful of cached recompiles per run).
+PER_RAY_PHASES = (
+    (0.05, None),
+    (0.02, (1.0, 0.875, 0.375, 0.25)),
+    (0.005, (1.0, 1.0, 0.5, 0.25)),
+    (0.0, (1.0, 1.0, 1.0, 0.5)),
+)
+
+
+def per_ray_fracs_for_beta(beta: float):
+    """Capacity schedule for the current learned beta (see above)."""
+    for floor, fracs in PER_RAY_PHASES:
+        if beta > floor:
+            return fracs
+    return PER_RAY_PHASES[-1][1]
+
+
 def make_train_step(model_cfg, tx: optax.GradientTransformation,
                     batch_size: int, mesh=None, bubble: bool = False,
                     bubble_batch_size: int | None = None,

@@ -169,14 +169,30 @@ class ReconstructionTrainer:
                     1.0 - self.plot_data.lightmask_images)
             self.device_data = self.train_data.to_device()
 
+        # Per-ray sampler compaction (ray_sampler.per_ray_exit): the
+        # capacity schedule depends on the learned beta, so the trainer
+        # owns phase selection — the base cfg keeps it off and
+        # _update_per_ray_phase() swaps in phase-specialized steps as
+        # beta decays (cached; a handful of recompiles per run).
+        self.auto_per_ray = self.model_cfg.sampler.per_ray_exit
+        if self.auto_per_ray:
+            import dataclasses as _dc
+
+            self.model_cfg = _dc.replace(
+                self.model_cfg,
+                sampler=_dc.replace(self.model_cfg.sampler,
+                                    per_ray_exit=False))
+        self._per_ray_fracs = None
+        self._per_ray_check_freq = conf.train.get("per_ray_check_freq", 250)
+        self._step_cache = {}
+
         step_kwargs = dict(pdf_prune=self.train_data.pdf_prune,
                            pdf_max=self.train_data.pdf_max,
                            pdf_criterion=self.pdf_criterion,
                            fused_sampler=fused_sampler, mesh=self.mesh)
-        self._step_plain = make_train_step(
-            self.model_cfg, self.tx, self.batch_size, **step_kwargs)
-        self._step_bubble = None  # built lazily at bubble activation
         self._step_kwargs = step_kwargs
+        self._step_plain = self._build_step(None, bubble=False)
+        self._step_bubble = None  # built lazily at bubble activation
         self.render_image, self._render_chunk = make_eval_render_fn(
             self.model_cfg, chunk_size=self.split_n_pixels,
             fused_sampler=fused_sampler, mesh=self.mesh)
@@ -266,6 +282,46 @@ class ReconstructionTrainer:
                 ds.img_res, step=step, trace_idx=self.trace_bub_idx,
                 trace_dir=trace_dir)
 
+    def _cfg_for_fracs(self, fracs):
+        if fracs is None:
+            return self.model_cfg
+        import dataclasses as _dc
+
+        return _dc.replace(
+            self.model_cfg,
+            sampler=_dc.replace(self.model_cfg.sampler, per_ray_exit=True,
+                                per_ray_fracs=tuple(fracs)))
+
+    def _build_step(self, fracs, bubble: bool):
+        key = (fracs, bubble)
+        if key not in self._step_cache:
+            kwargs = dict(self._step_kwargs)
+            if bubble:
+                kwargs.update(bubble=True,
+                              bubble_batch_size=self.bubble_batch_size)
+            self._step_cache[key] = make_train_step(
+                self._cfg_for_fracs(fracs), self.tx, self.batch_size,
+                **kwargs)
+        return self._step_cache[key]
+
+    def _update_per_ray_phase(self) -> None:
+        """Re-specialize the jitted step when the learned beta crosses a
+        per-ray compaction phase boundary (step.py PER_RAY_PHASES)."""
+        from ..models.density import effective_beta
+        from .step import per_ray_fracs_for_beta
+
+        beta = float(effective_beta(self.state.params["beta"],
+                                    self.model_cfg.beta_min))
+        fracs = per_ray_fracs_for_beta(beta)
+        if fracs == self._per_ray_fracs:
+            return
+        self._per_ray_fracs = fracs
+        self._step_plain = self._build_step(fracs, bubble=False)
+        if self._step_bubble is not None:
+            self._step_bubble = self._build_step(fracs, bubble=True)
+        print(f"[INFO] per-ray sampler phase: beta={beta:.2e} "
+              f"fracs={fracs}")
+
     def _maybe_toggle_bubble(self, step: int) -> None:
         lc = self.loss_cfg
         want = (self.train_data.use_bubble and lc.max_bubble_iter is not None
@@ -286,10 +342,8 @@ class ReconstructionTrainer:
                 self.pdf = self._rep(jnp.ones((n,), jnp.float32))
                 self.sample_count = self._rep(jnp.zeros((n,), jnp.int32))
             if self._step_bubble is None:
-                self._step_bubble = make_train_step(
-                    self.model_cfg, self.tx, self.batch_size, bubble=True,
-                    bubble_batch_size=self.bubble_batch_size,
-                    **self._step_kwargs)
+                self._step_bubble = self._build_step(
+                    self._per_ray_fracs, bubble=True)
         elif self.bubble_activated and not want:
             self.bubble_activated = False
             self.pdf = None
@@ -333,6 +387,8 @@ class ReconstructionTrainer:
         step = int(self.state.step)
         while step < max_steps:
             self._maybe_toggle_bubble(step)
+            if self.auto_per_ray and step % self._per_ray_check_freq == 0:
+                self._update_per_ray_phase()
             w = self.loss_cfg.dynamic_weights(step)
             key, k = jax.random.split(key)
             if self.bubble_activated:

@@ -160,3 +160,113 @@ def test_early_exit_skips_when_converged():
     # branch-gated; correctness of the gating is covered by the
     # not-converged equivalence test above.
     assert z.shape[1] == cfg.N_samples + cfg.N_samples_extra + 2
+
+
+def _unit_rays(key, R):
+    dirs = jax.random.normal(key, (R, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    cam = jnp.zeros((R, 3)) + jnp.asarray([0.0, 0.0, -2.0])
+    return dirs, cam
+
+
+def test_per_ray_compacted_eval_shapes():
+    """With per_ray_exit and frac 0.5 the post-round-0 MLP evaluations
+    must trace at the compacted size (cap x N_samples_eval points)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, per_ray_exit=True, per_ray_fracs=(0.5,), max_total_iters=3)
+    R = 8
+    dirs, cam = _unit_rays(jax.random.PRNGKey(0), R)
+
+    shapes = []
+
+    def sdf_fn(p):
+        shapes.append(p.shape[0])
+        return jnp.linalg.norm(p, axis=-1) - 1.0
+
+    error_bound_z_vals(cfg, sdf_fn, jax.random.PRNGKey(0), dirs, cam,
+                       0.1, True)
+    # round 0: full R*N_eval; rounds 1..2: ceil(0.5*R)*N_eval
+    assert shapes[0] == R * cfg.N_samples_eval
+    assert all(s == 4 * cfg.N_samples_eval for s in shapes[1:])
+    assert len(shapes) == cfg.max_total_iters
+
+
+def test_per_ray_selected_rows_match_plain():
+    """Never-converging SDF (eps=1e-12): rays inside the capacity follow
+    the exact plain-sampler refinement; rays beyond it still produce
+    sorted, in-range samples."""
+    import dataclasses
+
+    cfg_plain = dataclasses.replace(CFG, eps=1e-12, early_exit=False)
+    cfg_pr = dataclasses.replace(
+        CFG, eps=1e-12, early_exit=True, per_ray_exit=True,
+        per_ray_fracs=(0.5,))
+    key = jax.random.PRNGKey(3)
+    R = 8
+    dirs, cam = _unit_rays(key, R)
+
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1) - 1.0
+
+    z0, _, e0 = error_bound_z_vals(cfg_plain, sdf_fn, key, dirs, cam,
+                                   0.1, True)
+    z1, _, e1 = error_bound_z_vals(cfg_pr, sdf_fn, key, dirs, cam,
+                                   0.1, True)
+    # stable argsort of an all-False convergence mask keeps ray order:
+    # the first ceil(0.5*R) rays are refined exactly like the plain path
+    np.testing.assert_allclose(np.asarray(z1)[:4], np.asarray(z0)[:4],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e1)[:4], np.asarray(e0)[:4],
+                               atol=1e-6)
+    zn = np.asarray(z1)
+    assert np.all(np.diff(zn, axis=-1) >= -1e-6)
+    assert zn.min() >= cfg_pr.near - 1e-6 and zn.max() <= cfg_pr.far + 1e-5
+    assert np.isfinite(zn).all()
+
+
+def test_per_ray_converged_matches_global_exit():
+    """When every ray converges in round 0 (huge eps), selected rows are
+    bit-identical to the global early-exit path; unselected rows carry
+    far-duplicate padding instead of merged leading-duplicates (both are
+    zero-width sections) and must stay sorted and in range."""
+    import dataclasses
+
+    cfg_g = dataclasses.replace(CFG, eps=1e9, early_exit=True)
+    cfg_pr = dataclasses.replace(
+        CFG, eps=1e9, early_exit=True, per_ray_exit=True,
+        per_ray_fracs=(0.5,))
+    key = jax.random.PRNGKey(4)
+    dirs, cam = _unit_rays(key, 8)
+
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1) - 1.0
+
+    z0, _, e0 = error_bound_z_vals(cfg_g, sdf_fn, key, dirs, cam, 0.1, True)
+    z1, _, e1 = error_bound_z_vals(cfg_pr, sdf_fn, key, dirs, cam, 0.1, True)
+    # stable argsort of an all-True mask keeps ray order: rows 0..3 selected
+    np.testing.assert_allclose(np.asarray(z1)[:4], np.asarray(z0)[:4],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e1)[:4], np.asarray(e0)[:4],
+                               atol=1e-6)
+    zn = np.asarray(z1)
+    assert np.all(np.diff(zn, axis=-1) >= -1e-6)
+    assert zn.min() >= cfg_pr.near - 1e-6 and zn.max() <= cfg_pr.far + 1e-5
+    assert np.isfinite(np.asarray(e1)).all()
+
+
+def test_per_ray_jit_and_grad_free():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, per_ray_exit=True, per_ray_fracs=(0.5,))
+    dirs, cam = _unit_rays(jax.random.PRNGKey(5), 8)
+
+    def f(scale):
+        z, _, _ = error_bound_z_vals(
+            cfg, lambda p: sphere_sdf(p) * scale, jax.random.PRNGKey(0),
+            dirs, cam, 0.05, True)
+        return jnp.sum(z)
+
+    g = jax.jit(jax.grad(f))(jnp.float32(1.0))
+    assert float(g) == 0.0

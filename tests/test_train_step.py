@@ -184,3 +184,48 @@ def test_fused_train_step_matches_xla(dataset, monkeypatch):
     leaves_f = jax.tree.leaves(s_f.params)
     for a, b in zip(leaves_x, leaves_f):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-3)
+
+
+def test_per_ray_train_step_descends(dataset):
+    """Full train step with the per-ray compacted sampler: loss descends
+    and matches the plain path's early trajectory closely (both refine
+    the same rays while nothing has converged at beta=0.1... capacity)."""
+    node = CfgNode(dict(TINY_MODEL))
+    node.use_normal = True
+    node.ray_sampler.per_ray_exit = True
+    node.ray_sampler.per_ray_fracs = [0.75]
+    node.ray_sampler.max_total_iters = 3
+    cfg = renderer.I2SDFConfig.from_cfgnode(node)
+    assert cfg.sampler.per_ray_exit
+    assert cfg.sampler.per_ray_fracs == (0.75,)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    state, tx = create_train_state(params, learning_rate=5e-4,
+                                   decay_steps=1000)
+    loss_cfg = LossConfig(eikonal_weight=0.1, depth_weight=0.1,
+                          normal_weight=0.05)
+    step = make_train_step(cfg, tx, batch_size=64)
+    data = dataset.to_device()
+    w = loss_cfg.dynamic_weights(0)
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(30):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, data, k, w)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9
+
+
+def test_per_ray_phase_table():
+    from i2sdf_tpu.train.step import PER_RAY_PHASES, per_ray_fracs_for_beta
+
+    assert per_ray_fracs_for_beta(0.1) is None  # global exit suffices
+    assert per_ray_fracs_for_beta(0.03) == PER_RAY_PHASES[1][1]
+    assert per_ray_fracs_for_beta(0.01) == PER_RAY_PHASES[2][1]
+    assert per_ray_fracs_for_beta(9.2e-4) == PER_RAY_PHASES[3][1]
+    # capacities never shrink a round below the measured unconverged
+    # fraction ladder (scripts/diag_per_ray.py margins)
+    for _, fracs in PER_RAY_PHASES:
+        if fracs is not None:
+            assert all(0.0 < f <= 1.0 for f in fracs)
