@@ -72,7 +72,10 @@ def run_render_eval(params, model_cfg, conf, exp_dir: str,
             "ssim": float(ssim(pred[None], gt[None])),
         }
         if lp:
-            m["lpips"] = lp(pred, gt)
+            # the metric column self-labels: true AlexNet weights report
+            # as LPIPS; the random-feature proxy reports as LPIPS-RF so
+            # it can never be mistaken for a published-comparable number
+            m[getattr(lp, "name", "lpips")] = lp(pred, gt)
         rows.append(m)
         print(f"[{tag}] " + " ".join(f"{k}={v:.4g}" for k, v in m.items()))
 

@@ -37,6 +37,13 @@ class LossConfig:
     min_bubble_iter: int = 0
     max_bubble_iter: int | None = None
     smooth_iter: int | None = None
+    # strict-parity switch: the reference dispatches the L1 normal loss
+    # for BOTH normal_loss and angular_loss
+    # (`/root/reference/model/network/__init__.py:368-369` calls
+    # get_normal_l1_loss in the angular branch). Default off = the real
+    # arccos angular loss; set true to reproduce reference behavior
+    # exactly for released-dataset A/Bs.
+    angular_reference_bug: bool = False
 
     def __post_init__(self):
         # bubbles conflict with smoothness: push smooth_iter past the
@@ -59,6 +66,7 @@ class LossConfig:
             min_bubble_iter=conf.get("min_bubble_iter", 0),
             max_bubble_iter=conf.get("max_bubble_iter", None),
             smooth_iter=conf.get("smooth_iter", None),
+            angular_reference_bug=conf.get("angular_reference_bug", False),
         )
 
     def dynamic_weights(self, step: int) -> dict:
@@ -129,8 +137,13 @@ def normal_angular(normal, normal_gt, normal_mask):
     return _masked_mean(jnp.clip(angle, max=0.5), normal_mask.reshape(-1))
 
 
-def compute_losses(outputs: dict, ground_truth: dict, weights: dict) -> dict:
-    """Weighted loss sum + per-term dict (10 entries, as the reference)."""
+def compute_losses(outputs: dict, ground_truth: dict, weights: dict,
+                   angular_reference_bug: bool = False) -> dict:
+    """Weighted loss sum + per-term dict (10 entries, as the reference).
+
+    `angular_reference_bug` (static) reproduces the reference's angular
+    dispatch bug — see LossConfig.angular_reference_bug."""
+    angular_fn = normal_l1 if angular_reference_bug else normal_angular
     zero = jnp.float32(0.0)
     terms = {
         "rgb_loss": rgb_l1(outputs["rgb_values"], ground_truth["rgb"]),
@@ -149,9 +162,9 @@ def compute_losses(outputs: dict, ground_truth: dict, weights: dict) -> dict:
                                   ground_truth["normal_mask"])
                         if "normal" in ground_truth
                         and "normal_values" in outputs else zero),
-        "angular_loss": (normal_angular(outputs["normal_values"],
-                                        ground_truth["normal"],
-                                        ground_truth["normal_mask"])
+        "angular_loss": (angular_fn(outputs["normal_values"],
+                                    ground_truth["normal"],
+                                    ground_truth["normal_mask"])
                          if "normal" in ground_truth
                          and "normal_values" in outputs else zero),
         "bubble_loss": (jnp.mean(jnp.abs(outputs["surface_sdf"]))

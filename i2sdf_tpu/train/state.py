@@ -28,9 +28,46 @@ def make_lr_schedule(learning_rate: float, decay_rate: float,
     )
 
 
+def make_reference_lr_schedule(learning_rate: float, decay_rate: float,
+                               n_images: int, total_pixels: int,
+                               batch_size: int) -> optax.Schedule:
+    """Strict-parity LR schedule (`train.reference_lr_schedule: true`).
+
+    Reproduces the reference's ACTUAL decay, bugs included
+    (`/root/reference/model/trainer/recon.py:92,201-207`): it computes
+    `decay_steps = nepochs * n_images` (with `nepochs =
+    ceil(200000 / epoch_steps)` — the 200000 is hardcoded there even if
+    train.steps differs) and builds `ExponentialLR(gamma =
+    decay_rate**(1/decay_steps))`, but Lightning steps the scheduler
+    per EPOCH, so after E epochs lr = lr0 * dr^(E / decay_steps) — over
+    a full run the LR only reaches lr0 * dr^(1/n_images) (~0.93 lr0 for
+    32 views), not lr0 * dr. The framework's default schedule
+    (make_lr_schedule) implements the documented intent instead; this
+    exists so released-dataset A/Bs can match the reference exactly.
+    """
+    import math
+
+    import jax.numpy as jnp
+
+    epoch_steps = max(
+        int(math.ceil(n_images * total_pixels / batch_size)), 1)
+    nepochs = max(int(math.ceil(200_000 / (n_images * total_pixels
+                                           / batch_size))), 1)
+    decay_steps = nepochs * n_images
+
+    def schedule(step):
+        epoch = step // epoch_steps
+        return learning_rate * decay_rate ** (epoch / decay_steps)
+
+    return schedule
+
+
 def make_optimizer(learning_rate: float = 5e-4, decay_rate: float = 0.1,
-                   decay_steps: int = 200_000) -> optax.GradientTransformation:
-    schedule = make_lr_schedule(learning_rate, decay_rate, decay_steps)
+                   decay_steps: int = 200_000,
+                   schedule: optax.Schedule | None = None
+                   ) -> optax.GradientTransformation:
+    if schedule is None:
+        schedule = make_lr_schedule(learning_rate, decay_rate, decay_steps)
     # plain per-leaf Adam: optax.flatten measured as a NO-OP-to-negative
     # on v5e (XLA already fuses the whole update into the step program;
     # see docs/PERFORMANCE.md "Negative results")
@@ -39,11 +76,14 @@ def make_optimizer(learning_rate: float = 5e-4, decay_rate: float = 0.1,
 
 def create_train_state(params, learning_rate: float = 5e-4,
                        decay_rate: float = 0.1,
-                       decay_steps: int = 200_000) -> tuple[TrainState,
-                                                            optax.GradientTransformation]:
+                       decay_steps: int = 200_000,
+                       schedule: optax.Schedule | None = None
+                       ) -> tuple[TrainState,
+                                  optax.GradientTransformation]:
     import jax.numpy as jnp
 
-    tx = make_optimizer(learning_rate, decay_rate, decay_steps)
+    tx = make_optimizer(learning_rate, decay_rate, decay_steps,
+                        schedule=schedule)
     opt_state = tx.init(params)
     return TrainState(step=jnp.int32(0), params=params,
                       opt_state=opt_state), tx

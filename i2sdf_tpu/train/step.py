@@ -66,7 +66,8 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
                     pdf_prune: float = 0.0, pdf_max: float | None = None,
                     pdf_criterion: str = "DEPTH",
                     donate: bool = True, fused_sampler: bool | None = None,
-                    fused_train_grad: bool | None = None):
+                    fused_train_grad: bool | None = None,
+                    angular_reference_bug: bool = False):
     """Build the jitted step.
 
     Signature of the returned fn (bubble=False):
@@ -127,7 +128,8 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
         out = renderer.render_rays(params, model_cfg, inputs, k_render,
                                    training=True, fused_sampler=fused,
                                    fused_train_grad=fused_grad)
-        terms = compute_losses(out, gt, weights)
+        terms = compute_losses(
+            out, gt, weights, angular_reference_bug=angular_reference_bug)
         metrics = dict(terms)
         metrics["psnr"] = psnr_fn(out["rgb_values"],
                                   gt["rgb"].reshape(-1, 3))

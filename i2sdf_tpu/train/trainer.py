@@ -143,10 +143,22 @@ class ReconstructionTrainer:
         # (trainer/recon.py:204-206) but Lightning steps ExponentialLR per
         # EPOCH, so its LR barely moves (0.1^(nepochs/decay_steps) ~ 0.98
         # over 200k steps) — we implement the documented intent instead.
+        # strict-parity switch: reproduce the reference's per-epoch
+        # ExponentialLR semantics exactly (see make_reference_lr_schedule)
+        ref_schedule = None
+        if conf.train.get("reference_lr_schedule", False):
+            from .state import make_reference_lr_schedule
+
+            ref_schedule = make_reference_lr_schedule(
+                conf.train.learning_rate,
+                conf.train.get("sched_decay_rate", 0.1),
+                n_images=n_images,
+                total_pixels=self.train_data.total_pixels,
+                batch_size=conf.train.batch_size)
         self.state, self.tx = create_train_state(
             params, learning_rate=conf.train.learning_rate,
             decay_rate=conf.train.get("sched_decay_rate", 0.1),
-            decay_steps=max(self.max_steps, 1))
+            decay_steps=max(self.max_steps, 1), schedule=ref_schedule)
 
         self.batch_size = conf.train.batch_size
         self.bubble_batch_size = conf.train.get("bubble_batch_size",
@@ -186,10 +198,12 @@ class ReconstructionTrainer:
         self._per_ray_check_freq = conf.train.get("per_ray_check_freq", 250)
         self._step_cache = {}
 
-        step_kwargs = dict(pdf_prune=self.train_data.pdf_prune,
-                           pdf_max=self.train_data.pdf_max,
-                           pdf_criterion=self.pdf_criterion,
-                           fused_sampler=fused_sampler, mesh=self.mesh)
+        step_kwargs = dict(
+            pdf_prune=self.train_data.pdf_prune,
+            pdf_max=self.train_data.pdf_max,
+            pdf_criterion=self.pdf_criterion,
+            fused_sampler=fused_sampler, mesh=self.mesh,
+            angular_reference_bug=self.loss_cfg.angular_reference_bug)
         self._step_kwargs = step_kwargs
         self._step_plain = self._build_step(None, bubble=False)
         self._step_bubble = None  # built lazily at bubble activation
@@ -514,7 +528,10 @@ class ReconstructionTrainer:
         result = {"psnr": float(np.mean(psnrs)),
                   "ssim": float(np.mean(ssims))}
         if lpipss:
-            result["lpips"] = float(np.mean(lpipss))
+            # self-labeling column: the random-feature proxy logs as
+            # "lpips-rf", never as published-comparable "lpips"
+            result[getattr(self.lpips, "name", "lpips")] = float(
+                np.mean(lpipss))
         if self.tb:
             for k, v in result.items():
                 self.tb.add_scalar(f"val/{k}", v, step)

@@ -84,3 +84,68 @@ def test_compute_losses_weighted_sum():
     np.testing.assert_allclose(float(terms["eikonal_loss"]), 1.0, rtol=1e-6)
     np.testing.assert_allclose(float(terms["depth_loss"]), 1.0, rtol=1e-6)
     np.testing.assert_allclose(float(terms["loss"]), 1.0 + 0.1 + 0.2, rtol=1e-6)
+
+
+def test_angular_reference_bug_flag():
+    """Strict-parity: with the flag on, the angular term dispatches the
+    L1 normal loss exactly like the reference
+    (network/__init__.py:368-369); default off = real arccos loss."""
+    import jax
+    from i2sdf_tpu.models.losses import (LossConfig, compute_losses,
+                                         normal_l1, normal_angular)
+
+    key = jax.random.PRNGKey(0)
+    n = jax.random.normal(key, (16, 3))
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    gt = jax.random.normal(jax.random.PRNGKey(1), (16, 3))
+    gt = gt / jnp.linalg.norm(gt, axis=-1, keepdims=True)
+    mask = jnp.ones((16,), bool)
+
+    outputs = {"rgb_values": jnp.zeros((16, 3)), "normal_values": n}
+    ground_truth = {"rgb": jnp.zeros((16, 3)), "normal": gt,
+                    "normal_mask": mask}
+    w = LossConfig(angular_weight=1.0).dynamic_weights(0)
+
+    t_fixed = compute_losses(outputs, ground_truth, w)
+    t_ref = compute_losses(outputs, ground_truth, w,
+                           angular_reference_bug=True)
+    np.testing.assert_allclose(float(t_fixed["angular_loss"]),
+                               float(normal_angular(n, gt, mask)))
+    np.testing.assert_allclose(float(t_ref["angular_loss"]),
+                               float(normal_l1(n, gt, mask)))
+    assert abs(float(t_ref["angular_loss"])
+               - float(t_fixed["angular_loss"])) > 1e-4
+
+    # config plumbing
+    from i2sdf_tpu.config import CfgNode
+    lc = LossConfig.from_cfgnode(CfgNode({"angular_reference_bug": True}))
+    assert lc.angular_reference_bug
+
+
+def test_reference_lr_schedule_semantics():
+    """Strict-parity: per-EPOCH ExponentialLR with the reference's
+    decay_steps = nepochs * n_images (trainer/recon.py:92,201-207) —
+    LR is constant within an epoch and ends at lr0 * dr^(1/n_images)."""
+    import math
+    from i2sdf_tpu.train.state import make_reference_lr_schedule
+
+    lr0, dr = 5e-4, 0.1
+    n_images, total_pixels, batch = 32, 480 * 640, 1600
+    sched = make_reference_lr_schedule(lr0, dr, n_images, total_pixels,
+                                       batch)
+    epoch_steps = math.ceil(n_images * total_pixels / batch)
+    nepochs = math.ceil(200_000 / (n_images * total_pixels / batch))
+    decay_steps = nepochs * n_images
+
+    assert float(sched(0)) == lr0
+    # constant within the first epoch
+    np.testing.assert_allclose(float(sched(epoch_steps - 1)), lr0)
+    # one scheduler step after the first epoch
+    np.testing.assert_allclose(float(sched(epoch_steps)),
+                               lr0 * dr ** (1.0 / decay_steps), rtol=1e-6)
+    # the documented reference outcome: after the full run the LR has
+    # barely moved (dr^(1/n_images) ~ 0.93 for 32 views)
+    final = float(sched(nepochs * epoch_steps))
+    np.testing.assert_allclose(final, lr0 * dr ** (1.0 / n_images),
+                               rtol=1e-5)
+    assert final > 0.9 * lr0

@@ -219,3 +219,29 @@ def test_sharded_fused_train_step_matches_single_device(monkeypatch):
     _, m_1 = step_1(state, data, key, w)
     np.testing.assert_allclose(float(m_m["loss"]), float(m_1["loss"]),
                                rtol=1e-4)
+
+
+@pytest.mark.slow
+@pytest.mark.multidevice
+def test_weak_scaling_bench_runs():
+    """The DP weak-scaling microbench (scripts/bench_scaling.py) must run
+    end-to-end on the virtual mesh and report sane rows (SURVEY §2c:
+    scaling harness ready for real multi-chip hardware)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "bench_scaling.py"),
+         "--tiny", "--steps", "2", "--max-devices", "2"],
+        capture_output=True, text=True, timeout=900,
+        cwd=repo, env=os.environ)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    rows = [l for l in lines if "devices" in l]
+    summary = [l for l in lines if l.get("metric") == "dp_weak_scaling"]
+    assert [r["devices"] for r in rows] == [1, 2]
+    assert rows[1]["batch"] == 2 * rows[0]["batch"]
+    assert summary and "2" in summary[0]["efficiency_vs_1dev"]
