@@ -278,6 +278,7 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
 
     returns_grad = cfg.use_normal or (not training) or cfg.rendering.mode == "idr"
     rgb_flat = None
+    lmask_fused = None
     eik_all = None
     grad_theta_folded = None
     if training and not predict_only:
@@ -308,11 +309,17 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
                                               supports_render_core)
 
         p_sg = jax.lax.stop_gradient(params)
-        if (supports_render_core(cfg.implicit, cfg.rendering)
-                and not cfg.use_light):
-            sdf, gradients, rgb_flat = render_core_fused(
-                p_sg["implicit"], cfg.implicit, p_sg["rendering"],
-                cfg.rendering, points_flat, dirs_flat, block_rows=512)
+        if supports_render_core(cfg.implicit, cfg.rendering, cfg.light):
+            if cfg.use_light:
+                sdf, gradients, rgb_flat, lmask_fused = render_core_fused(
+                    p_sg["implicit"], cfg.implicit, p_sg["rendering"],
+                    cfg.rendering, points_flat, dirs_flat, block_rows=512,
+                    params_light=p_sg["light"], lcfg=cfg.light,
+                    detach_light=cfg.detach_light_feature)
+            else:
+                sdf, gradients, rgb_flat = render_core_fused(
+                    p_sg["implicit"], cfg.implicit, p_sg["rendering"],
+                    cfg.rendering, points_flat, dirs_flat, block_rows=512)
             feature_vectors = None
         else:
             from ..ops.pallas.fused_rev import sdf_outputs_fused_rev
@@ -324,13 +331,13 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
         from ..ops.pallas.fused_train import (render_core_fused,
                                               supports_render_core)
 
-        if (supports_render_core(cfg.implicit, cfg.rendering)
-                and not cfg.use_light):
-            # whole-render fused kernel (v3): SDF + radiance MLP fwd/bwd
-            # in one launch each — the (N, feat) feature tensor never
-            # leaves VMEM (docs/PERFORMANCE.md). The eikonal points ride
-            # in the same batch (rgb/sdf rows of those points are unused,
-            # so their cotangents are zero).
+        if supports_render_core(cfg.implicit, cfg.rendering, cfg.light):
+            # whole-render fused kernel (v3): SDF + radiance MLP (+ the
+            # light head, when configured) fwd/bwd in one launch each —
+            # the (N, feat) feature tensor never leaves VMEM
+            # (docs/PERFORMANCE.md). The eikonal points ride in the same
+            # batch (rgb/sdf rows of those points are unused, so their
+            # cotangents are zero).
             n_main = points_flat.shape[0]
             if eik_all is not None:
                 pts_in = jnp.concatenate([points_flat, eik_all], axis=0)
@@ -338,9 +345,17 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
                     [dirs_flat, jnp.zeros_like(eik_all)], axis=0)
             else:
                 pts_in, dirs_in = points_flat, dirs_flat
-            sdf_a, grad_a, rgb_a = render_core_fused(
-                params["implicit"], cfg.implicit, params["rendering"],
-                cfg.rendering, pts_in, dirs_in)
+            if cfg.use_light:
+                sdf_a, grad_a, rgb_a, lmask_a = render_core_fused(
+                    params["implicit"], cfg.implicit, params["rendering"],
+                    cfg.rendering, pts_in, dirs_in,
+                    params_light=params["light"], lcfg=cfg.light,
+                    detach_light=cfg.detach_light_feature)
+                lmask_fused = lmask_a[:n_main]
+            else:
+                sdf_a, grad_a, rgb_a = render_core_fused(
+                    params["implicit"], cfg.implicit, params["rendering"],
+                    cfg.rendering, pts_in, dirs_in)
             sdf, gradients, rgb_flat = (sdf_a[:n_main], grad_a[:n_main],
                                         rgb_a[:n_main])
             if eik_all is not None:
@@ -402,12 +417,17 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
     }
 
     if cfg.use_light:
-        light_features = jax.nn.relu(feature_vectors)
-        if cfg.detach_light_feature:
-            light_features = jax.lax.stop_gradient(light_features)
-        lmask_flat = mlp.implicit_net_apply(
-            params["light"], cfg.light, light_features)
-        lmask = lmask_flat.reshape(R, S, 1)
+        if lmask_fused is not None:
+            # light head already evaluated inside the v3 kernel (feature
+            # relu + detach semantics are in-kernel)
+            lmask = lmask_fused.reshape(R, S, 1)
+        else:
+            light_features = jax.nn.relu(feature_vectors)
+            if cfg.detach_light_feature:
+                light_features = jax.lax.stop_gradient(light_features)
+            lmask_flat = mlp.implicit_net_apply(
+                params["light"], cfg.light, light_features)
+            lmask = lmask_flat.reshape(R, S, 1)
         output["light_mask"] = jnp.sum(
             jax.lax.stop_gradient(weights)[..., None] * lmask, axis=1)
 

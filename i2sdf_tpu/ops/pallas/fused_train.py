@@ -170,14 +170,43 @@ def _rad_forward(rad_in, w_refs, b_refs, n_rad):
     return h, X_l, mask_l
 
 
+def _light_forward(lin_in, w_refs, b_refs, n_l):
+    """Light head: softplus(100)-hidden / sigmoid-output MLP over
+    relu(features) (models/mlp.py implicit_net_apply semantics for the
+    light ImplicitNetConfig: no skips, no embedding).
+
+    Returns (lm_sig, X_l, dact_l)."""
+    ip = w_refs[0].shape[0]
+    if lin_in.shape[-1] < ip:  # zero-pad to the padded first-layer rows
+        lin_in = jnp.concatenate(
+            [lin_in, jnp.zeros((lin_in.shape[0], ip - lin_in.shape[-1]),
+                               lin_in.dtype)], -1)
+    h = lin_in
+    X_l, dact_l = [], []
+    for layer in range(n_l):
+        X_l.append(h)
+        z = jnp.dot(h, w_refs[layer][:],
+                    preferred_element_type=jnp.float32) + b_refs[layer][:]
+        if layer < n_l - 1:
+            act, dact, _ = _act_all(z)
+            h = act.astype(jnp.bfloat16)
+            dact_l.append(dact)
+        else:
+            h = jax.nn.sigmoid(z)
+    return h, X_l, dact_l
+
+
 def _make_fwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
-                     rpad, block_rows):
+                     rpad, block_rows, n_l=0):
     def kernel(packed_ref, pp_ref, sel_ref, *refs):
-        w_sdf = refs[:n_sdf]
-        b_sdf = refs[n_sdf:2 * n_sdf]
-        w_rad = refs[2 * n_sdf:2 * n_sdf + n_rad]
-        b_rad = refs[2 * n_sdf + n_rad:2 * n_sdf + 2 * n_rad]
-        out_ref = refs[2 * n_sdf + 2 * n_rad]
+        k = 0
+        w_sdf = refs[k:k + n_sdf]; k += n_sdf
+        b_sdf = refs[k:k + n_sdf]; k += n_sdf
+        w_rad = refs[k:k + n_rad]; k += n_rad
+        b_rad = refs[k:k + n_rad]; k += n_rad
+        w_l = refs[k:k + n_l]; k += n_l
+        b_l = refs[k:k + n_l]; k += n_l
+        out_ref = refs[k]
 
         E = packed_ref[:]
         y, g_emb, _, _, _, _ = _sdf_forward_rev(
@@ -201,15 +230,25 @@ def _make_fwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
         rad_in = jnp.concatenate(rad_parts, -1)
         rgb, _, _ = _rad_forward(rad_in, w_rad, b_rad, n_rad)
 
+        if n_l:
+            # light head over relu(features) — the feature tensor is
+            # already VMEM-resident (the whole point of v3)
+            lin_in = jnp.maximum(feat, 0.0).astype(jnp.bfloat16)
+            lm, _, _ = _light_forward(lin_in, w_l, b_l, n_l)
+            lmask = lm[:, :1]
+        else:
+            lmask = jnp.zeros((br, 1), jnp.float32)
+
         out_ref[:] = jnp.concatenate(
-            [gsel[:, :3], sdfv, rgb[:, :3],
-             jnp.zeros((br, _LANES - 7), jnp.float32)], -1)
+            [gsel[:, :3], sdfv, rgb[:, :3], lmask,
+             jnp.zeros((br, _LANES - 8), jnp.float32)], -1)
 
     return kernel
 
 
 def _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
-                     rpad, dims_sdf, block_rows):
+                     rpad, dims_sdf, block_rows, n_l=0,
+                     detach_light=True):
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
 
     def kernel(*refs):
@@ -219,10 +258,14 @@ def _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
         b_sdf = refs[k:k + n_sdf]; k += n_sdf
         w_rad = refs[k:k + n_rad]; k += n_rad
         b_rad = refs[k:k + n_rad]; k += n_rad
+        w_l = refs[k:k + n_l]; k += n_l
+        b_l = refs[k:k + n_l]; k += n_l
         dw_sdf = refs[k:k + n_sdf]; k += n_sdf
         db_sdf = refs[k:k + n_sdf]; k += n_sdf
         dw_rad = refs[k:k + n_rad]; k += n_rad
         db_rad = refs[k:k + n_rad]; k += n_rad
+        dw_l = refs[k:k + n_l]; k += n_l
+        db_l = refs[k:k + n_l]; k += n_l
         first = pl.program_id(0) == 0
 
         E = packed_ref[:]
@@ -261,6 +304,32 @@ def _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
             else:
                 c_radin = dh
         c_feat = c_radin[:, :feat_dim]
+
+        # ---- light-head backward (sigmoid out, softplus-100 hidden) ----
+        if n_l:
+            lin_in = jnp.maximum(feat, 0.0).astype(jnp.bfloat16)
+            lm, lX_l, ldact_l = _light_forward(lin_in, w_l, b_l, n_l)
+            c_lm = cot[:, 7:8]
+            # padded output cols carry zero cotangent
+            out_pad = lm.shape[-1]
+            dz_l = jnp.concatenate(
+                [c_lm * lm[:, :1] * (1.0 - lm[:, :1]),
+                 jnp.zeros((br, out_pad - 1), jnp.float32)], -1)
+            dws_l = [None] * n_l
+            dbs_l = [None] * n_l
+            for layer in reversed(range(n_l)):
+                dzb = dz_l.astype(jnp.bfloat16)
+                dws_l[layer] = _atb(lX_l[layer], dzb)
+                dbs_l[layer] = jnp.sum(dz_l, axis=0, keepdims=True)
+                dh = _abt(dzb, w_l[layer][:])
+                if layer > 0:
+                    dz_l = dh * ldact_l[layer - 1]
+                else:
+                    c_lin = dh
+            if not detach_light:
+                # relu'(feat) gates the feature cotangent (the
+                # reference's detach_light_feature=False path)
+                c_feat = c_feat + c_lin[:, :feat_dim] * (feat > 0.0)
 
         # ---- SDF output cotangent in the [feat | sdf] layout ----------
         d_out = dims_sdf[-1]
@@ -336,16 +405,33 @@ def _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
                 dw_rad[layer][:] = dw_rad[layer][:] + dws_r[layer]
                 db_rad[layer][:] = db_rad[layer][:] + dbs_r[layer]
 
+        for layer in range(n_l):
+            @pl.when(first)
+            def _initl(layer=layer):
+                dw_l[layer][:] = dws_l[layer]
+                db_l[layer][:] = dbs_l[layer]
+
+            @pl.when(jnp.logical_not(first))
+            def _accl(layer=layer):
+                dw_l[layer][:] = dw_l[layer][:] + dws_l[layer]
+                db_l[layer][:] = db_l[layer][:] + dbs_l[layer]
+
     return kernel
 
 
 @functools.lru_cache(maxsize=None)
 def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
-                       block_rows: int = 256, interpret: bool = False):
+                       block_rows: int = 256, interpret: bool = False,
+                       lcfg: ImplicitNetConfig | None = None,
+                       detach_light: bool = True):
     """custom_vjp op (raw materialized weights in/out):
 
         (ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs)
             -> (grad_x (N,3), sdf (N,1), rgb (N,3))
+    or, with a light head (lcfg — the light-mask config's in-kernel MLP
+    over relu(features), parity `model/network/__init__.py:161-170`):
+        (ws_sdf, bs_sdf, ws_rad, bs_rad, ws_l, bs_l, x, dirs)
+            -> (grad_x (N,3), sdf (N,1), rgb (N,3), lmask (N,1))
 
     ws_sdf's LAST layer must be column-permuted to [features | sdf] and
     ws_rad's FIRST layer row-permuted/padded to [features | pe(dirs)]
@@ -362,6 +448,14 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
     vdim = dims_rad[0] - feat_dim  # view-PE width
     rpad = _round_up(dims_rad[0], _LANES)
     ppad = _round_up(emb_dim + vdim, _LANES)
+
+    n_l = 0
+    lout_pad = 0
+    if lcfg is not None:
+        dims_l = lcfg.layer_dims()
+        n_l = len(dims_l) - 1
+        assert dims_l[0] == feat_dim, (dims_l, feat_dim)
+        lout_pad = _round_up(dims_l[-1], _LANES)
 
     Pp_np, Sel_np = _pe_tangent_mats(icfg.multires, emb_dim, ppad)
     bs_spec = pl.BlockSpec
@@ -385,6 +479,21 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
         ws_rad_p += [w.astype(jnp.bfloat16) for w in ws_rad[1:]]
         return ws_sdf_p, ws_rad_p
 
+    def _pad_light(ws_l, bs_l):
+        """Pad every light layer to lane-multiple in/out (zero rows keep
+        padded activations from leaking; padded dw rows/cols are sliced
+        away on output)."""
+        ws_p, bs_p = [], []
+        for w, b in zip(ws_l, bs_l):
+            ip = _round_up(w.shape[0], _LANES)
+            op_ = _round_up(w.shape[1], _LANES)
+            ws_p.append(jnp.pad(w, ((0, ip - w.shape[0]),
+                                    (0, op_ - w.shape[1])))
+                        .astype(jnp.bfloat16))
+            bs_p.append(jnp.pad(b, (0, op_ - b.shape[0]))
+                        .reshape(1, -1).astype(jnp.float32))
+        return ws_p, bs_p
+
     def _const_specs():
         return [bs_spec((ppad, ppad), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)] * 2
@@ -398,19 +507,22 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
                    + sum(2 * block_rows * dims_rad[i] * dims_rad[i + 1]
                          for i in range(n_rad)))
 
-    def _forward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs):
+    def _forward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs,
+                 ws_l=(), bs_l=()):
         n = x.shape[0]
         packed, n_pad = _prep_packed(x, dirs)
         ws_sdf_p, ws_rad_p = _pad_weights(ws_sdf, ws_rad)
         bs_sdf_p = [b.reshape(1, -1).astype(jnp.float32) for b in bs_sdf]
         bs_rad_p = [b.reshape(1, -1).astype(jnp.float32) for b in bs_rad]
+        ws_l_p, bs_l_p = _pad_light(ws_l, bs_l)
         kernel = _make_fwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim,
-                                  feat_dim, rpad, block_rows)
+                                  feat_dim, rpad, block_rows, n_l=n_l)
         row = bs_spec((block_rows, ppad), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
         in_specs = ([row] + _const_specs()
                     + _weight_specs(ws_sdf_p) + _weight_specs(bs_sdf_p)
-                    + _weight_specs(ws_rad_p) + _weight_specs(bs_rad_p))
+                    + _weight_specs(ws_rad_p) + _weight_specs(bs_rad_p)
+                    + _weight_specs(ws_l_p) + _weight_specs(bs_l_p))
         out = pl.pallas_call(
             kernel, grid=(n_pad // block_rows,),
             in_specs=in_specs,
@@ -423,36 +535,44 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
                 transcendentals=n_pad * sum(dims_sdf[1:-1])),
             interpret=interpret,
         )(packed, jnp.asarray(Pp_np), jnp.asarray(Sel_np),
-          *ws_sdf_p, *bs_sdf_p, *ws_rad_p, *bs_rad_p)
-        return out[:n, :3], out[:n, 3:4], out[:n, 4:7]
+          *ws_sdf_p, *bs_sdf_p, *ws_rad_p, *bs_rad_p, *ws_l_p, *bs_l_p)
+        return out[:n, :3], out[:n, 3:4], out[:n, 4:7], out[:n, 7:8]
 
     def _backward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs, c_g, c_sdf,
-                  c_rgb):
+                  c_rgb, ws_l=(), bs_l=(), c_lm=None):
         n = x.shape[0]
         packed, n_pad = _prep_packed(x, dirs)
         ws_sdf_p, ws_rad_p = _pad_weights(ws_sdf, ws_rad)
         bs_sdf_p = [b.reshape(1, -1).astype(jnp.float32) for b in bs_sdf]
         bs_rad_p = [b.reshape(1, -1).astype(jnp.float32) for b in bs_rad]
-        cot = jnp.concatenate(
-            [c_g.astype(jnp.float32), c_sdf.astype(jnp.float32),
-             c_rgb.astype(jnp.float32)], axis=-1)
-        cot = jnp.pad(cot, ((0, n_pad - n), (0, _LANES - 7)))
+        ws_l_p, bs_l_p = _pad_light(ws_l, bs_l)
+        cot_parts = [c_g.astype(jnp.float32), c_sdf.astype(jnp.float32),
+                     c_rgb.astype(jnp.float32)]
+        cot_parts.append(jnp.zeros((n, 1), jnp.float32) if c_lm is None
+                         else c_lm.astype(jnp.float32))
+        cot = jnp.concatenate(cot_parts, axis=-1)
+        cot = jnp.pad(cot, ((0, n_pad - n), (0, _LANES - 8)))
         kernel = _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim,
-                                  feat_dim, rpad, dims_sdf, block_rows)
+                                  feat_dim, rpad, dims_sdf, block_rows,
+                                  n_l=n_l, detach_light=detach_light)
         row = bs_spec((block_rows, ppad), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
         cot_spec = bs_spec((block_rows, _LANES), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
         in_specs = ([row] + _const_specs() + [cot_spec]
                     + _weight_specs(ws_sdf_p) + _weight_specs(bs_sdf_p)
-                    + _weight_specs(ws_rad_p) + _weight_specs(bs_rad_p))
+                    + _weight_specs(ws_rad_p) + _weight_specs(bs_rad_p)
+                    + _weight_specs(ws_l_p) + _weight_specs(bs_l_p))
         grads_shapes = (
             [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_sdf_p]
             + [jax.ShapeDtypeStruct(b.shape, jnp.float32)
                for b in bs_sdf_p]
             + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_rad_p]
             + [jax.ShapeDtypeStruct(b.shape, jnp.float32)
-               for b in bs_rad_p])
+               for b in bs_rad_p]
+            + [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in ws_l_p]
+            + [jax.ShapeDtypeStruct(b.shape, jnp.float32)
+               for b in bs_l_p])
         out_specs = tuple(
             bs_spec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
             for s in grads_shapes)
@@ -466,12 +586,14 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
                 transcendentals=n_pad * sum(dims_sdf[1:-1])),
             interpret=interpret,
         )(packed, jnp.asarray(Pp_np), jnp.asarray(Sel_np), cot,
-          *ws_sdf_p, *bs_sdf_p, *ws_rad_p, *bs_rad_p)
+          *ws_sdf_p, *bs_sdf_p, *ws_rad_p, *bs_rad_p, *ws_l_p, *bs_l_p)
         k = 0
         dws_sdf = outs[k:k + n_sdf]; k += n_sdf
         dbs_sdf = outs[k:k + n_sdf]; k += n_sdf
         dws_rad = outs[k:k + n_rad]; k += n_rad
-        dbs_rad = outs[k:k + n_rad]
+        dbs_rad = outs[k:k + n_rad]; k += n_rad
+        dws_l = outs[k:k + n_l]; k += n_l
+        dbs_l = outs[k:k + n_l]
         dws_sdf = tuple(dw[:w.shape[0], :w.shape[1]].astype(w.dtype)
                         for dw, w in zip(dws_sdf, ws_sdf))
         dbs_sdf = tuple(db[0, :b.shape[0]].astype(b.dtype)
@@ -480,46 +602,90 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
                         for dw, w in zip(dws_rad, ws_rad))
         dbs_rad = tuple(db[0, :b.shape[0]].astype(b.dtype)
                         for db, b in zip(dbs_rad, bs_rad))
-        return dws_sdf, dbs_sdf, dws_rad, dbs_rad
+        dws_l = tuple(dw[:w.shape[0], :w.shape[1]].astype(w.dtype)
+                      for dw, w in zip(dws_l, ws_l))
+        dbs_l = tuple(db[0, :b.shape[0]].astype(b.dtype)
+                      for db, b in zip(dbs_l, bs_l))
+        return dws_sdf, dbs_sdf, dws_rad, dbs_rad, dws_l, dbs_l
+
+    if lcfg is None:
+        @jax.custom_vjp
+        def op(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs):
+            g, s, r, _ = _forward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs)
+            return g, s, r
+
+        def op_fwd(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs):
+            g, s, r, _ = _forward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs)
+            return ((g, s, r),
+                    (ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs))
+
+        def op_bwd(res, cts):
+            ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs = res
+            c_g, c_sdf, c_rgb = cts
+            grads = _backward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs,
+                              c_g, c_sdf, c_rgb)[:4]
+            # x/dirs are stop-gradient upstream (sampler z-vals + cameras)
+            return (*grads, jnp.zeros_like(x), jnp.zeros_like(dirs))
+
+        op.defvjp(op_fwd, op_bwd)
+        return op
 
     @jax.custom_vjp
-    def op(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs):
-        return _forward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs)
+    def op_l(ws_sdf, bs_sdf, ws_rad, bs_rad, ws_l, bs_l, x, dirs):
+        return _forward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs,
+                        ws_l, bs_l)
 
-    def op_fwd(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs):
-        return (_forward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs),
-                (ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs))
+    def op_l_fwd(ws_sdf, bs_sdf, ws_rad, bs_rad, ws_l, bs_l, x, dirs):
+        return (op_l(ws_sdf, bs_sdf, ws_rad, bs_rad, ws_l, bs_l, x, dirs),
+                (ws_sdf, bs_sdf, ws_rad, bs_rad, ws_l, bs_l, x, dirs))
 
-    def op_bwd(res, cts):
-        ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs = res
-        c_g, c_sdf, c_rgb = cts
+    def op_l_bwd(res, cts):
+        ws_sdf, bs_sdf, ws_rad, bs_rad, ws_l, bs_l, x, dirs = res
+        c_g, c_sdf, c_rgb, c_lm = cts
         grads = _backward(ws_sdf, bs_sdf, ws_rad, bs_rad, x, dirs,
-                          c_g, c_sdf, c_rgb)
-        # x/dirs are stop-gradient upstream (sampler z-vals + camera data)
+                          c_g, c_sdf, c_rgb, ws_l, bs_l, c_lm)
         return (*grads, jnp.zeros_like(x), jnp.zeros_like(dirs))
 
-    op.defvjp(op_fwd, op_bwd)
-    return op
+    op_l.defvjp(op_l_fwd, op_l_bwd)
+    return op_l
 
 
 def supports_render_core(icfg: ImplicitNetConfig,
-                         rcfg: RenderingNetConfig) -> bool:
-    """True iff the flagship-style fused whole-render kernel applies."""
-    return (rcfg.mode == "nerf"
+                         rcfg: RenderingNetConfig,
+                         lcfg: ImplicitNetConfig | None = None) -> bool:
+    """True iff the flagship-style fused whole-render kernel applies
+    (optionally with the light-mask head folded in-kernel)."""
+    base = (rcfg.mode == "nerf"
             and icfg.embed_type == "positional"
             and rcfg.embed_type == "positional"
             and icfg.d_in == 3 and rcfg.d_out == 3
             and rcfg.output_activation == "sigmoid")
+    if not base:
+        return False
+    if lcfg is None:
+        return True
+    return (lcfg.embed_type is None
+            and not lcfg.skip_in
+            and lcfg.d_in == icfg.feature_vector_size
+            and lcfg.d_out == 1 and lcfg.feature_vector_size == 0
+            and lcfg.output_activation == "sigmoid")
 
 
 def render_core_fused(params_implicit, icfg: ImplicitNetConfig,
                       params_rendering, rcfg: RenderingNetConfig,
                       x, dirs, block_rows: int = 256,
-                      interpret: bool = False):
+                      interpret: bool = False,
+                      params_light=None,
+                      lcfg: ImplicitNetConfig | None = None,
+                      detach_light: bool = True):
     """Drop-in for `mlp.sdf_outputs` + `mlp.rendering_net_apply` on the
-    nerf-mode training path. Returns (sdf, grad, rgb); the (N, feat)
-    feature tensor never leaves VMEM. Differentiable w.r.t. both nets'
-    parameters including through the spatial gradient."""
+    nerf-mode training path. Returns (sdf, grad, rgb) — or (sdf, grad,
+    rgb, lmask) when a light head is given (the light-mask config,
+    `/root/reference/config/synthetic_light_mask.yml`); the (N, feat)
+    feature tensor never leaves VMEM either way. Differentiable w.r.t.
+    all nets' parameters including through the spatial gradient;
+    `detach_light` reproduces the reference's feature detach
+    (network/__init__.py:163-165)."""
     from ...models import mlp as mlp_mod
 
     n_sdf = len(icfg.layer_dims()) - 1
@@ -544,9 +710,21 @@ def render_core_fused(params_implicit, icfg: ImplicitNetConfig,
                               np.arange(vdim)])
     ws_rad[0] = ws_rad[0][perm_in, :]
 
-    op = get_render_core_op(icfg, rcfg, block_rows, interpret)
-    grad, sdf, rgb = op(tuple(ws_sdf), tuple(bs_sdf), tuple(ws_rad),
-                        tuple(bs_rad), x, dirs)
+    lmask = None
+    if lcfg is not None:
+        n_l = len(lcfg.layer_dims()) - 1
+        ws_l = tuple(mlp_mod.linear_weight(params_light[f"lin{i}"])
+                     for i in range(n_l))
+        bs_l = tuple(params_light[f"lin{i}"]["b"] for i in range(n_l))
+        op = get_render_core_op(icfg, rcfg, block_rows, interpret,
+                                lcfg=lcfg, detach_light=detach_light)
+        grad, sdf, rgb, lmask = op(
+            tuple(ws_sdf), tuple(bs_sdf), tuple(ws_rad), tuple(bs_rad),
+            ws_l, bs_l, x, dirs)
+    else:
+        op = get_render_core_op(icfg, rcfg, block_rows, interpret)
+        grad, sdf, rgb = op(tuple(ws_sdf), tuple(bs_sdf), tuple(ws_rad),
+                            tuple(bs_rad), x, dirs)
     if icfg.sdf_bounding_sphere > 0.0:
         norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
         sphere_sdf = icfg.sphere_scale * (icfg.sdf_bounding_sphere - norm)
@@ -554,4 +732,6 @@ def render_core_fused(params_implicit, icfg: ImplicitNetConfig,
         sphere_grad = -icfg.sphere_scale * x / jnp.maximum(norm, 1e-12)
         sdf = jnp.minimum(sdf, sphere_sdf)
         grad = jnp.where(take_sphere, sphere_grad, grad)
+    if lcfg is not None:
+        return sdf, grad, rgb, lmask
     return sdf, grad, rgb

@@ -122,3 +122,87 @@ def test_sphere_clamp(setup):
                                 block_rows=8, interpret=True)
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=0.02)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=0.05)
+
+
+# ---- light-head variant (synthetic_light_mask.yml shape) ---------------
+
+LCFG = ImplicitNetConfig(
+    feature_vector_size=0, sdf_bounding_sphere=0.0,
+    d_in=16, d_out=1, dims=(32,), geometric_init=False, skip_in=(),
+    embed_type=None, output_activation="sigmoid",
+    compute_dtype="bfloat16")
+
+
+def _ref_light(p_imp, p_rad, p_l, pts, dirs, detach):
+    from i2sdf_tpu.models.mlp import implicit_net_apply
+
+    sdf, feat, grad = sdf_outputs(p_imp, ICFG, pts, returns_grad=True)
+    rgb = rendering_net_apply(p_rad, RCFG, pts, grad, dirs, feat)
+    lf = jax.nn.relu(feat)
+    if detach:
+        lf = jax.lax.stop_gradient(lf)
+    lmask = implicit_net_apply(p_l, LCFG, lf)
+    return sdf, grad, rgb, lmask
+
+
+def test_supports_light_head():
+    assert supports_render_core(ICFG, RCFG, LCFG)
+    bad = ImplicitNetConfig(**{**LCFG.__dict__, "skip_in": (1,)})
+    assert not supports_render_core(ICFG, RCFG, bad)
+
+
+@pytest.mark.parametrize("detach", [True, False],
+                         ids=["detached", "coupled"])
+def test_light_forward_and_grads_match(setup, detach):
+    from i2sdf_tpu.models.mlp import implicit_net_init as ini
+
+    p_imp, p_rad, pts, dirs, gt_rgb, gt_n = setup
+    p_l = ini(jax.random.PRNGKey(7), LCFG)
+    gt_lm = jax.random.uniform(jax.random.PRNGKey(8), (96, 1))
+
+    s_ref, g_ref, rgb_ref, lm_ref = _ref_light(
+        p_imp, p_rad, p_l, pts, dirs, detach)
+    s, g, rgb, lm = render_core_fused(
+        p_imp, ICFG, p_rad, RCFG, pts, dirs, block_rows=32,
+        interpret=True, params_light=p_l, lcfg=LCFG, detach_light=detach)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               atol=0.02, rtol=0.02)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lm_ref),
+                               atol=0.02, rtol=0.03)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=0.03, rtol=0.05)
+
+    def full_loss(s, g, rgb, lm):
+        return (_loss(s, g, rgb, gt_rgb, gt_n)
+                + 0.3 * jnp.mean((lm - gt_lm) ** 2))
+
+    def loss_ref(ps):
+        return full_loss(*_ref_light(ps["i"], ps["r"], ps["l"], pts,
+                                     dirs, detach))
+
+    def loss_ker(ps):
+        return full_loss(*render_core_fused(
+            ps["i"], ICFG, ps["r"], RCFG, pts, dirs, block_rows=32,
+            interpret=True, params_light=ps["l"], lcfg=LCFG,
+            detach_light=detach))
+
+    ps = {"i": p_imp, "r": p_rad, "l": p_l}
+    v_ref, gr_ref = jax.value_and_grad(loss_ref)(ps)
+    v_ker, gr_ker = jax.value_and_grad(loss_ker)(ps)
+    np.testing.assert_allclose(float(v_ker), float(v_ref), rtol=0.02)
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(gr_ref)
+    flat_ker = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(gr_ker)}
+    for k, ref_leaf in flat_ref:
+        ks = jax.tree_util.keystr(k)
+        ker_leaf = flat_ker[ks]
+        denom = np.maximum(np.abs(np.asarray(ref_leaf)).max(), 1e-3)
+        err = np.abs(np.asarray(ker_leaf) - np.asarray(ref_leaf)).max()
+        assert err / denom < 0.35, (ks, err, denom)
+    # the light-net gradient leaves specifically must be nonzero and tight
+    for i in range(len(LCFG.dims) + 1):
+        ref_w = np.asarray(gr_ref["l"][f"lin{i}"]["v"]
+                           if "v" in gr_ref["l"][f"lin{i}"]
+                           else gr_ref["l"][f"lin{i}"]["w"])
+        assert np.abs(ref_w).max() > 0

@@ -229,3 +229,57 @@ def test_per_ray_phase_table():
     for _, fracs in PER_RAY_PHASES:
         if fracs is not None:
             assert all(0.0 < f <= 1.0 for f in fracs)
+
+
+def test_fused_light_mask_step_matches_xla(dataset, monkeypatch):
+    """The light-mask config (synthetic_light_mask.yml shape) now rides
+    the v3 whole-render kernel with the in-kernel light head: the fused
+    step must track the XLA step closely (interpret mode)."""
+    from functools import partial
+
+    from i2sdf_tpu.ops.pallas import fused_train as _ftrain
+
+    monkeypatch.setattr(
+        _ftrain, "render_core_fused",
+        partial(_ftrain.render_core_fused, block_rows=8, interpret=True))
+
+    model = dict(TINY_MODEL)
+    model["light_network"] = {"dims": [16], "weight_norm": True}
+    node = CfgNode(model)
+    node.use_normal = True
+    cfg = renderer.I2SDFConfig.from_cfgnode(node)
+    assert cfg.use_light
+    from i2sdf_tpu.ops.pallas.fused_train import supports_render_core
+    assert supports_render_core(cfg.implicit, cfg.rendering, cfg.light)
+
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    loss_cfg = LossConfig(eikonal_weight=0.1, depth_weight=0.1,
+                          normal_weight=0.05, light_mask_weight=0.1)
+    w = loss_cfg.dynamic_weights(0)
+    data = dataset.to_device()
+
+    state0, tx = create_train_state(params, learning_rate=1e-3,
+                                    decay_steps=100)
+    step_x = make_train_step(cfg, tx, batch_size=64, donate=False,
+                             fused_sampler=False, fused_train_grad=False)
+    step_f = make_train_step(cfg, tx, batch_size=64, donate=False,
+                             fused_sampler=False, fused_train_grad=True)
+    key = jax.random.PRNGKey(9)
+    s_x = s_f = state0
+    for i in range(3):
+        key, k = jax.random.split(key)
+        s_x, m_x = step_x(s_x, data, k, w)
+        s_f, m_f = step_f(s_f, data, k, w)
+        assert float(m_x["light_mask_loss"]) > 0
+        np.testing.assert_allclose(float(m_f["loss"]), float(m_x["loss"]),
+                                   rtol=0.05, atol=5e-3)
+        np.testing.assert_allclose(float(m_f["light_mask_loss"]),
+                                   float(m_x["light_mask_loss"]),
+                                   rtol=0.05, atol=5e-3)
+    # light-net params must have moved identically-ish in both steps
+    for lin in ("lin0", "lin1"):
+        a = np.asarray(jax.tree.leaves(s_x.params["light"][lin])[0])
+        b = np.asarray(jax.tree.leaves(s_f.params["light"][lin])[0])
+        np.testing.assert_allclose(b, a, atol=5e-3)
+        assert np.abs(a - np.asarray(
+            jax.tree.leaves(state0.params["light"][lin])[0])).max() > 0
