@@ -166,3 +166,148 @@ def test_half_values_roundtrip_exact_for_representable():
     back, _ = native.exr_read(p)
     np.testing.assert_array_equal(back, vals)
     os.remove(p)
+
+
+# ---------------------------------------------------------------------------
+# released-dataset (Blender) layout fixtures — VERDICT r1 item 7:
+# depth as a single 'V' FLOAT channel, HALF RGB normals, ZIP (type 3)
+# 16-scanline blocks. Written by an independent pure-Python encoder so
+# kitchen_0-style ingestion is proven before the data ever arrives
+# (/root/reference/DATA_CONVENTION.md, utils/rend_util.py:25-54).
+# ---------------------------------------------------------------------------
+
+
+def _zip_filter(raw: bytes) -> bytes:
+    """OpenEXR zip pre-filter: byte de-interleave + delta predictor."""
+    buf = bytearray(raw)
+    n = len(buf)
+    tmp = bytearray(n)
+    half = (n + 1) // 2
+    tmp[:half] = buf[0::2]
+    tmp[half:] = buf[1::2]
+    for i in range(n - 1, 0, -1):
+        tmp[i] = (tmp[i] - tmp[i - 1] + 128 + 256) & 0xFF
+    return bytes(tmp)
+
+
+def _py_write_exr_blender(path, channels, compression=3):
+    """channels: name -> (arr (H, W) float32, pixel_type 1=HALF/2=FLOAT).
+    compression 3 = ZIP with 16-scanline blocks (Blender's default for
+    its EXR outputs); channel order alphabetical as the spec requires."""
+    names = sorted(channels)
+    h, w = next(iter(channels.values()))[0].shape
+    chlist = b""
+    for n in names:
+        ptype = channels[n][1]
+        chlist += (n.encode() + b"\0" + struct.pack("<i", ptype)
+                   + b"\0\0\0\0" + struct.pack("<ii", 1, 1))
+    chlist += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = (
+        struct.pack("<I", 20000630) + struct.pack("<i", 2)
+        + _attr("channels", "chlist", chlist)
+        + _attr("compression", "compression", bytes([compression]))
+        + _attr("dataWindow", "box2i", box)
+        + _attr("displayWindow", "box2i", box)
+        + _attr("lineOrder", "lineOrder", b"\0")
+        + _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        + _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+        + _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+        + b"\0")
+
+    lines_per_block = 16 if compression == 3 else 1
+    chunks = []
+    for y0 in range(0, h, lines_per_block):
+        raw = b""
+        for y in range(y0, min(y0 + lines_per_block, h)):
+            for n in names:
+                arr, ptype = channels[n]
+                dt = "<f2" if ptype == 1 else "<f4"
+                raw += arr[y].astype(dt).tobytes()
+        packed = zlib.compress(_zip_filter(raw))
+        if len(packed) >= len(raw):
+            packed = raw
+        chunks.append(struct.pack("<ii", y0, len(packed)) + packed)
+
+    offset = len(header) + 8 * len(chunks)
+    table = b""
+    for ch in chunks:
+        table += struct.pack("<Q", offset)
+        offset += len(ch)
+    with open(path, "wb") as f:
+        f.write(header + table + b"".join(chunks))
+
+
+def test_blender_depth_v_channel_zip(tmp_path):
+    """Depth as Blender writes it: one FLOAT 'V' channel, ZIP blocks."""
+    rng = np.random.default_rng(11)
+    depth = (rng.uniform(0.2, 7.5, (70, 90))).astype(np.float32)
+    p = str(tmp_path / "depth_blender.exr")
+    _py_write_exr_blender(p, {"V": (depth, 2)}, compression=3)
+    back, names = native.exr_read(p)
+    assert names == ["V"]
+    np.testing.assert_array_equal(np.asarray(back).reshape(70, 90), depth)
+    # the dataset loader path (ReconData depth ingestion)
+    d = imaging.load_depth(p)
+    assert d.shape == (70, 90)
+    np.testing.assert_array_equal(d, depth)
+
+
+def test_blender_depth_y_channel_zip(tmp_path):
+    """Some Blender exports name the single channel 'Y' instead of 'V'."""
+    rng = np.random.default_rng(12)
+    depth = (rng.uniform(0.2, 7.5, (40, 50))).astype(np.float32)
+    p = str(tmp_path / "depth_y.exr")
+    _py_write_exr_blender(p, {"Y": (depth, 2)}, compression=3)
+    d = imaging.load_depth(p)
+    np.testing.assert_array_equal(d, depth)
+
+
+def test_blender_half_normals_zip(tmp_path):
+    """Normals as the released sets store them: HALF R/G/B, ZIP blocks
+    (zero vectors mark invalid areas, DATA_CONVENTION.md)."""
+    rng = np.random.default_rng(13)
+    n = rng.normal(size=(37, 61, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    n[5:9, 10:20] = 0.0  # invalid windows
+    n_half = n.astype(np.float16).astype(np.float32)  # storage precision
+    p = str(tmp_path / "normal_blender.exr")
+    _py_write_exr_blender(
+        p, {"R": (n[..., 0], 1), "G": (n[..., 1], 1),
+            "B": (n[..., 2], 1)}, compression=3)
+    back, names = native.exr_read(p)
+    assert names == ["R", "G", "B"]
+    np.testing.assert_allclose(np.asarray(back), n_half, atol=1e-7)
+    # loader path: load_normal returns RGB
+    ln = imaging.load_normal(p)
+    np.testing.assert_allclose(ln, n_half, atol=1e-7)
+    assert (ln[5:9, 10:20] == 0).all()
+
+
+def test_blender_hdr_half_rgb_zip(tmp_path):
+    """HDR images: HALF RGB with values > 1, ZIP blocks, load_rgb path."""
+    rng = np.random.default_rng(14)
+    hdr = (rng.uniform(0, 16, (33, 48, 3))).astype(np.float32)
+    hdr_half = hdr.astype(np.float16).astype(np.float32)
+    p = str(tmp_path / "hdr_blender.exr")
+    _py_write_exr_blender(
+        p, {"R": (hdr[..., 0], 1), "G": (hdr[..., 1], 1),
+            "B": (hdr[..., 2], 1)}, compression=3)
+    img = imaging.load_rgb(p, is_hdr=True)
+    np.testing.assert_allclose(img, hdr_half, atol=1e-7)
+
+
+def test_blender_mixed_half_float_rgbz(tmp_path):
+    """Mixed per-channel pixel types in one file (RGB HALF + Z FLOAT)
+    exercise the per-channel byte accounting inside ZIP blocks."""
+    rng = np.random.default_rng(15)
+    rgb = rng.uniform(0, 2, (21, 30, 3)).astype(np.float32)
+    z = rng.uniform(0.5, 6, (21, 30)).astype(np.float32)
+    p = str(tmp_path / "mixed.exr")
+    _py_write_exr_blender(
+        p, {"R": (rgb[..., 0], 1), "G": (rgb[..., 1], 1),
+            "B": (rgb[..., 2], 1), "Z": (z, 2)}, compression=3)
+    back, names = native.exr_read(p)
+    assert set(names) == {"R", "G", "B", "Z"}
+    zi = names.index("Z")
+    np.testing.assert_array_equal(np.asarray(back)[:, :, zi], z)
