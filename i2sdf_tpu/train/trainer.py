@@ -168,7 +168,24 @@ class ReconstructionTrainer:
         self.uniform_bubble = conf.train.get("uniform_bubble", False)
         self.split_n_pixels = conf.train.get("split_n_pixels", 12000)
         self.checkpoint_freq = conf.train.get("checkpoint_freq", 10000)
-        self.plot_freq = conf.train.get("plot_freq", 500)
+        # validation cadence: plot_freq in steps; when absent, the
+        # reference falls back to epoch cadence (plot_epochs,
+        # /root/reference/main_recon.py:104-107) — under on-device
+        # batching an "epoch" is one pass over all pixels, so translate
+        # epochs -> ceil(n_images * total_pixels / batch_size) steps
+        if "plot_freq" in conf.train:
+            self.plot_freq = conf.train.plot_freq
+        elif "plot_epochs" in conf.train:
+            import math as _math
+
+            steps_per_epoch = max(int(_math.ceil(
+                n_images * self.train_data.total_pixels
+                / conf.train.batch_size)), 1)
+            self.plot_freq = conf.train.plot_epochs * steps_per_epoch
+            print(f"[INFO] plot_epochs={conf.train.plot_epochs} -> "
+                  f"validating every {self.plot_freq} steps")
+        else:
+            self.plot_freq = 500
         self.trace_bub_idx = conf.train.get("trace_bub_idx", -1)
 
         if (self.train_data.use_lightmask
