@@ -213,9 +213,15 @@ def child_main():
     from i2sdf_tpu.models.losses import LossConfig
     from i2sdf_tpu.train import create_train_state, make_train_step
 
-    conf = load_cfg(os.path.join(os.path.dirname(__file__),
-                                 "configs", "synthetic.yml"))
-    batch_size = conf.train.batch_size
+    # BENCH_CONF selects the config (default: flagship synthetic.yml;
+    # e.g. configs/synthetic_light_mask.yml measures the light-mask
+    # config's step on the v3 kernel path)
+    conf_path = os.environ.get(
+        "BENCH_CONF", os.path.join("configs", "synthetic.yml"))
+    if not os.path.isabs(conf_path):
+        conf_path = os.path.join(os.path.dirname(__file__), conf_path)
+    conf = load_cfg(conf_path)
+    batch_size = int(os.environ.get("BENCH_RAYS", conf.train.batch_size))
     model_node = conf.model
     model_node.use_normal = True
     # measurement knobs: BENCH_BETA pins the initial learned beta (the
@@ -247,12 +253,16 @@ def child_main():
     pose[:3, 3] = [0.0, 0.0, -2.0]
     jj, ii = np.meshgrid(np.arange(W), np.arange(H))
     uv = np.stack([jj, ii], -1).reshape(-1, 2).astype(np.float32)
+    light_mask = None
+    if "light_network" in model_node:
+        light_mask = jnp.asarray(
+            rng.uniform(0, 1, (n_img, hw)) > 0.9, jnp.float32)
     data = DeviceArrays(
         uv=jnp.asarray(uv),
         intrinsics=jnp.asarray(np.broadcast_to(K, (n_img, 4, 4))),
         pose=jnp.asarray(np.broadcast_to(pose, (n_img, 4, 4))),
         rgb=jnp.asarray(rng.uniform(0, 1, (n_img, hw, 3)), jnp.float32),
-        mask=None, light_mask=None,
+        mask=None, light_mask=light_mask,
         depth=jnp.asarray(rng.uniform(0.5, 4, (n_img, hw)), jnp.float32),
         depth_mask=jnp.ones((n_img, hw), bool),
         normal=jnp.asarray(np.tile([0.0, 0.0, 1.0], (n_img, hw, 1)),

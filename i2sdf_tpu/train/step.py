@@ -189,13 +189,30 @@ def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None,
 
     Replaces split_input/merge_output chunking
     (`/root/reference/utils/__init__.py:35-91`); pixels shard over chips.
-    Returns fn(params, inputs_chunk) -> outputs dict.
+    Returns fn(params, inputs_chunk) -> outputs dict. With
+    `ray_sampler.per_ray_exit` configured, chunks render through the
+    beta-matched per-ray compacted sampler (eval always runs at the
+    final learned beta — exactly the regime where the global exit does
+    nothing; chunk fns cached per capacity phase).
     """
+    import dataclasses
 
     fused = _auto_fused(fused_sampler)
 
-    @partial(jax.jit, static_argnames=("predict_only",))
-    def render_chunk(params, inputs, predict_only=False):
+    def _cfg_for_fracs(fracs):
+        if fracs is None:
+            if not model_cfg.sampler.per_ray_exit:
+                return model_cfg
+            return dataclasses.replace(
+                model_cfg, sampler=dataclasses.replace(
+                    model_cfg.sampler, per_ray_exit=False))
+        return dataclasses.replace(
+            model_cfg, sampler=dataclasses.replace(
+                model_cfg.sampler, per_ray_exit=True,
+                per_ray_fracs=tuple(fracs)))
+
+    @partial(jax.jit, static_argnames=("predict_only", "fracs"))
+    def render_chunk(params, inputs, predict_only=False, fracs=None):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -203,11 +220,18 @@ def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None,
             inputs = dict(inputs, uv=jax.lax.with_sharding_constraint(
                 inputs["uv"], shard))
         return renderer.render_rays(
-            params, model_cfg, inputs, jax.random.PRNGKey(0),
+            params, _cfg_for_fracs(fracs), inputs, jax.random.PRNGKey(0),
             training=False, predict_only=predict_only, fused_sampler=fused)
 
     def render_image(params, uv, intrinsics, pose, predict_only=False):
         """uv: (HW, 2); returns dict of (HW, ...) arrays."""
+        fracs = None
+        if model_cfg.sampler.per_ray_exit:
+            from ..models.density import effective_beta
+
+            beta = float(effective_beta(params["beta"],
+                                        model_cfg.beta_min))
+            fracs = per_ray_fracs_for_beta(beta)
         n = uv.shape[0]
         n_pad = (-n) % chunk_size
         uv_p = jnp.pad(uv, ((0, n_pad), (0, 0)))
@@ -219,7 +243,8 @@ def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None,
                 "intrinsics": intrinsics[None],
                 "pose": pose[None],
             }
-            out = render_chunk(params, inputs, predict_only=predict_only)
+            out = render_chunk(params, inputs, predict_only=predict_only,
+                               fracs=fracs)
             outs.append(out)
         merged = {
             k: jnp.concatenate([o[k] for o in outs], axis=0)[:n]

@@ -151,6 +151,8 @@ def bench_jax_cpu(rays: int, n_steps: int) -> float:
 
     env = _sanitized_cpu_env(1)
     env["BENCH_STEPS"] = str(n_steps)
+    env["BENCH_ALLOW_CPU"] = "1"  # bench.py's orchestrator otherwise
+    # refuses to measure on a CPU-only backend
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..",
                                       "bench.py")],
@@ -167,12 +169,20 @@ def main():
     args = ap.parse_args()
 
     torch_rps = bench_torch(args.rays, args.steps)
-    result = {"torch_cpu_rays_per_sec": round(torch_rps, 1)}
+    result = {"torch_cpu_rays_per_sec": round(torch_rps, 1),
+              "rays": args.rays, "steps": args.steps}
     if not args.skip_jax:
         jax_rps = bench_jax_cpu(args.rays, args.steps)
         result["jax_cpu_rays_per_sec"] = round(jax_rps, 1)
         result["ratio"] = round(jax_rps / torch_rps, 3)
     print(json.dumps(result))
+    # machine-readable artifact next to the TPU evidence, so the
+    # same-silicon anchor is not prose-only
+    out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                            "evidence", "cpu_anchor.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f)
+    print(f"wrote {os.path.normpath(out_path)}", file=sys.stderr)
 
 
 if __name__ == "__main__":

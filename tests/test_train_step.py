@@ -283,3 +283,39 @@ def test_fused_light_mask_step_matches_xla(dataset, monkeypatch):
         np.testing.assert_allclose(b, a, atol=5e-3)
         assert np.abs(a - np.asarray(
             jax.tree.leaves(state0.params["light"][lin])[0])).max() > 0
+
+
+def test_eval_render_per_ray_matches_plain(dataset):
+    """Eval renders through the beta-phased per-ray sampler must agree
+    closely with the plain eval path (same image, fresh sphere-init
+    model at a mid-schedule beta)."""
+    from i2sdf_tpu.train.step import make_eval_render_fn
+
+    model = dict(TINY_MODEL)
+    node = CfgNode(model)
+    node.use_normal = False
+    node.density.params_init.beta = 0.01
+    node.ray_sampler.max_total_iters = 4
+    cfg_plain = renderer.I2SDFConfig.from_cfgnode(node)
+    node2 = CfgNode(model)
+    node2.use_normal = False
+    node2.density.params_init.beta = 0.01
+    node2.ray_sampler.max_total_iters = 4
+    node2.ray_sampler.per_ray_exit = True
+    cfg_pr = renderer.I2SDFConfig.from_cfgnode(node2)
+
+    params = renderer.init(jax.random.PRNGKey(0), cfg_plain)
+    data = dataset.to_device()
+    r_plain, _ = make_eval_render_fn(cfg_plain, chunk_size=256,
+                                     fused_sampler=False)
+    r_pr, _ = make_eval_render_fn(cfg_pr, chunk_size=256,
+                                  fused_sampler=False)
+    uv = data.uv
+    out_a = r_plain(params, uv, data.intrinsics[0], data.pose[0])
+    out_b = r_pr(params, uv, data.intrinsics[0], data.pose[0])
+    a = np.asarray(out_a["rgb_values"])
+    b = np.asarray(out_b["rgb_values"])
+    assert np.isfinite(b).all()
+    assert np.abs(a - b).mean() < 5e-3, np.abs(a - b).mean()
+    assert np.abs(np.asarray(out_a["depth_values"])
+                  - np.asarray(out_b["depth_values"])).mean() < 0.02
