@@ -130,6 +130,9 @@ def main():
                 continue
             if res[0] == "cpu":
                 cpu_fallback = (name, env, res[0])
+                if allow_cpu:  # explicit opt-in: no point waiting out
+                    chosen = cpu_fallback  # the accelerator window
+                    break
             else:
                 chosen = (name, env, res[0])
                 break
