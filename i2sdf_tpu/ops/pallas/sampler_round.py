@@ -147,7 +147,11 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
                              - 1.0) * transmittance
             pdf = jnp.where(is_last, 0.0, bound_opacity + add_tiny)
 
-        pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+        # all-zero rows fall back to uniform instead of 0/0 (possible
+        # with add_tiny=0 at small beta — see ops/sampling.py pdf_to_cdf)
+        total = jnp.sum(pdf, axis=-1, keepdims=True)
+        pdf = jnp.where(total > 0.0, pdf / jnp.maximum(total, 1e-30),
+                        jnp.where(is_last, 0.0, 1.0 / (S - 1)))
         cdf = excl_exact(pdf)  # cdf[t] = sum_{j<t}; cdf[0]=0, cdf[-1]~1
 
         # --- gather-free inverse CDF -------------------------------------

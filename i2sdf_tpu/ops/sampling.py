@@ -86,8 +86,16 @@ def sample_cdf(bins: jnp.ndarray, cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarr
 
 
 def pdf_to_cdf(pdf: jnp.ndarray) -> jnp.ndarray:
-    """Normalize a per-ray pdf over bins and prepend a zero: (R, B-1) -> (R, B)."""
-    pdf = pdf / jnp.sum(pdf, axis=-1, keepdims=True)
+    """Normalize a per-ray pdf over bins and prepend a zero: (R, B-1) -> (R, B).
+
+    All-zero rows fall back to a uniform pdf instead of 0/0. Possible
+    whenever `add_tiny=0` (the reference's own default,
+    `ray_sampler.py:49`) at small beta: the bound error is ~0 before
+    the surface and the transmittance ~0 after it, and one NaN z-value
+    would otherwise poison the parameters permanently through Adam."""
+    total = jnp.sum(pdf, axis=-1, keepdims=True)
+    pdf = jnp.where(total > 0, pdf / jnp.maximum(total, 1e-30),
+                    1.0 / pdf.shape[-1])
     cdf = prefix_sum(pdf)
     return jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
 

@@ -88,3 +88,19 @@ def test_prefix_sum_matches_cumsum():
     y = jax.random.uniform(jax.random.PRNGKey(1), (4, 32))
     np.testing.assert_allclose(np.asarray(prefix_sum(y)),
                                np.cumsum(np.asarray(y), -1), rtol=1e-6)
+
+
+def test_pdf_to_cdf_zero_rows_fall_back_to_uniform():
+    """All-zero pdf rows (possible with add_tiny=0 at small beta — the
+    reference's own default, ray_sampler.py:49) must yield a uniform
+    CDF, not 0/0 NaN that permanently poisons training through Adam."""
+    from i2sdf_tpu.ops.sampling import pdf_to_cdf
+
+    pdf = jnp.stack([jnp.zeros(8), jnp.ones(8)])
+    cdf = pdf_to_cdf(pdf)
+    assert bool(jnp.isfinite(cdf).all())
+    expected = jnp.concatenate([jnp.zeros(1), jnp.cumsum(jnp.ones(8) / 8)])
+    np.testing.assert_allclose(np.asarray(cdf[0]), np.asarray(expected),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cdf[1]), np.asarray(expected),
+                               atol=1e-6)
