@@ -196,8 +196,30 @@ def _light_forward(lin_in, w_refs, b_refs, n_l):
     return h, X_l, dact_l
 
 
+def _rad_input(E, feat, gsel, emb_dim, vdim, feat_dim, rpad, idr):
+    """Assemble the radiance input block. Kernel-internal layout keeps
+    features lane-aligned at offset 0 in BOTH modes (the wrapper
+    row-permutes the first radiance weight to match):
+
+    * nerf: [feat | pe(view)]
+    * idr:  [feat | pe(view) | pts | grad] — pts are the raw xyz
+      (E[:, :3], include_input PE) and grad the in-kernel spatial
+      gradient; reference order is [pts, pe(view), normals, feat]
+      (`/root/reference/model/network/mlp.py:208-217`).
+    """
+    br = E.shape[0]
+    parts = [feat.astype(jnp.bfloat16), E[:, emb_dim:emb_dim + vdim]]
+    used = feat_dim + vdim
+    if idr:
+        parts += [E[:, :3], gsel[:, :3].astype(jnp.bfloat16)]
+        used += 6
+    if rpad - used > 0:
+        parts.append(jnp.zeros((br, rpad - used), jnp.bfloat16))
+    return jnp.concatenate(parts, -1)
+
+
 def _make_fwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
-                     rpad, block_rows, n_l=0):
+                     rpad, block_rows, n_l=0, idr=False):
     def kernel(packed_ref, pp_ref, sel_ref, *refs):
         k = 0
         w_sdf = refs[k:k + n_sdf]; k += n_sdf
@@ -222,12 +244,8 @@ def _make_fwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
 
         feat = y[:, :feat_dim]
         sdfv = y[:, feat_dim:feat_dim + 1]
-        rad_parts = [feat.astype(jnp.bfloat16),
-                     E[:, emb_dim:emb_dim + vdim]]
-        if rpad - feat_dim - vdim > 0:
-            rad_parts.append(jnp.zeros((br, rpad - feat_dim - vdim),
-                                       jnp.bfloat16))
-        rad_in = jnp.concatenate(rad_parts, -1)
+        rad_in = _rad_input(E, feat, gsel, emb_dim, vdim, feat_dim, rpad,
+                            idr)
         rgb, _, _ = _rad_forward(rad_in, w_rad, b_rad, n_rad)
 
         if n_l:
@@ -248,7 +266,7 @@ def _make_fwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
 
 def _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
                      rpad, dims_sdf, block_rows, n_l=0,
-                     detach_light=True):
+                     detach_light=True, idr=False):
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
 
     def kernel(*refs):
@@ -276,14 +294,12 @@ def _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
         lane = jax.lax.broadcasted_iota(jnp.int32, (br, ppad), 1)
         tilde = jnp.dot(E, pp_ref[:], preferred_element_type=jnp.float32)
         tilde = tilde + (lane < 3).astype(jnp.float32)
+        gsel = jnp.dot((g_emb * tilde).astype(jnp.bfloat16),
+                       sel_ref[:], preferred_element_type=jnp.float32)
 
         feat = y[:, :feat_dim]
-        rad_parts = [feat.astype(jnp.bfloat16),
-                     E[:, emb_dim:emb_dim + vdim]]
-        if rpad - feat_dim - vdim > 0:
-            rad_parts.append(jnp.zeros((br, rpad - feat_dim - vdim),
-                                       jnp.bfloat16))
-        rad_in = jnp.concatenate(rad_parts, -1)
+        rad_in = _rad_input(E, feat, gsel, emb_dim, vdim, feat_dim, rpad,
+                            idr)
         rgb, rX_l, rmask_l = _rad_forward(rad_in, w_rad, b_rad, n_rad)
 
         cot = cot_ref[:]
@@ -341,7 +357,17 @@ def _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim, feat_dim,
 
         # ---- spatial-gradient cotangent into the embedding -------------
         # g_xyz = (g_emb * tilde) @ Sel  =>  dg_emb = (c_g @ Sel^T) * tilde
-        dg_emb = _abt(cot.astype(jnp.bfloat16), sel_ref[:]) * tilde
+        # (only cot's first 3 columns reach Sel). In idr mode the
+        # radiance input itself consumes the spatial gradient, so its
+        # backward contributes an ADDITIONAL gradient cotangent that
+        # joins the external one before the second-order sweeps.
+        cot_g = cot
+        if idr:
+            off = feat_dim + vdim + 3
+            c_g_int = c_radin[:, off:off + 3]
+            cot_g = cot + jnp.concatenate(
+                [c_g_int, jnp.zeros((br, _LANES - 3), jnp.float32)], -1)
+        dg_emb = _abt(cot_g.astype(jnp.bfloat16), sel_ref[:]) * tilde
 
         # ---- upward sweep: transpose of the reverse sweep (2nd order) --
         dz_extra = [None] * (n_sdf - 1)
@@ -445,7 +471,9 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
 
     dims_rad = rcfg.layer_dims()
     n_rad = len(dims_rad) - 1
-    vdim = dims_rad[0] - feat_dim  # view-PE width
+    idr = rcfg.mode == "idr"
+    # view-PE width (idr additionally carries raw pts(3) + grad(3))
+    vdim = dims_rad[0] - feat_dim - (6 if idr else 0)
     rpad = _round_up(dims_rad[0], _LANES)
     ppad = _round_up(emb_dim + vdim, _LANES)
 
@@ -516,7 +544,8 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
         bs_rad_p = [b.reshape(1, -1).astype(jnp.float32) for b in bs_rad]
         ws_l_p, bs_l_p = _pad_light(ws_l, bs_l)
         kernel = _make_fwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim,
-                                  feat_dim, rpad, block_rows, n_l=n_l)
+                                  feat_dim, rpad, block_rows, n_l=n_l,
+                                  idr=idr)
         row = bs_spec((block_rows, ppad), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
         in_specs = ([row] + _const_specs()
@@ -554,7 +583,8 @@ def get_render_core_op(icfg: ImplicitNetConfig, rcfg: RenderingNetConfig,
         cot = jnp.pad(cot, ((0, n_pad - n), (0, _LANES - 8)))
         kernel = _make_bwd_kernel(n_sdf, n_rad, skip_in, emb_dim, vdim,
                                   feat_dim, rpad, dims_sdf, block_rows,
-                                  n_l=n_l, detach_light=detach_light)
+                                  n_l=n_l, detach_light=detach_light,
+                                  idr=idr)
         row = bs_spec((block_rows, ppad), lambda i: (i, 0),
                       memory_space=pltpu.VMEM)
         cot_spec = bs_spec((block_rows, _LANES), lambda i: (i, 0),
@@ -655,11 +685,14 @@ def supports_render_core(icfg: ImplicitNetConfig,
                          lcfg: ImplicitNetConfig | None = None) -> bool:
     """True iff the flagship-style fused whole-render kernel applies
     (optionally with the light-mask head folded in-kernel)."""
-    base = (rcfg.mode == "nerf"
+    base = (rcfg.mode in ("nerf", "idr")
             and icfg.embed_type == "positional"
             and rcfg.embed_type == "positional"
             and icfg.d_in == 3 and rcfg.d_out == 3
-            and rcfg.output_activation == "sigmoid")
+            and rcfg.output_activation == "sigmoid"
+            # idr consumes raw pts from the packed PE stream
+            and (rcfg.mode == "nerf"
+                 or not rcfg.embed_point_multires))
     if not base:
         return False
     if lcfg is None:
@@ -704,10 +737,20 @@ def render_core_fused(params_implicit, icfg: ImplicitNetConfig,
     perm_out = np.concatenate([np.arange(1, feat_dim + 1), [0]])
     ws_sdf[-1] = ws_sdf[-1][:, perm_out]
     bs_sdf[-1] = bs_sdf[-1][perm_out]
-    # radiance input layout [features | pe(dirs)] (reference order is
-    # [pe(view), features])
-    perm_in = np.concatenate([np.arange(vdim, vdim + feat_dim),
-                              np.arange(vdim)])
+    if rcfg.mode == "idr":
+        # natural row order [pts(3), pe(view), normals(3), feat]
+        # (rendering_net_apply) -> kernel order [feat, pe(view), pts, g]
+        vdim_v = vdim - 6
+        perm_in = np.concatenate([
+            np.arange(3 + vdim_v + 3, 3 + vdim_v + 3 + feat_dim),
+            np.arange(3, 3 + vdim_v),
+            np.arange(3),
+            np.arange(3 + vdim_v, 3 + vdim_v + 3)])
+    else:
+        # radiance input layout [features | pe(dirs)] (reference order
+        # is [pe(view), features])
+        perm_in = np.concatenate([np.arange(vdim, vdim + feat_dim),
+                                  np.arange(vdim)])
     ws_rad[0] = ws_rad[0][perm_in, :]
 
     lmask = None

@@ -58,7 +58,10 @@ def setup():
 def test_supports_flagship_shape():
     assert supports_render_core(ICFG, RCFG)
     assert not supports_render_core(
-        ICFG, RCFG.__class__(**{**RCFG.__dict__, "mode": "idr"}))
+        ICFG, RCFG.__class__(**{**RCFG.__dict__,
+                                "output_activation": "relu"}))
+    assert not supports_render_core(
+        ICFG.__class__(**{**ICFG.__dict__, "embed_type": None}), RCFG)
 
 
 def test_forward_values_match(setup):
@@ -206,3 +209,71 @@ def test_light_forward_and_grads_match(setup, detach):
                            if "v" in gr_ref["l"][f"lin{i}"]
                            else gr_ref["l"][f"lin{i}"]["w"])
         assert np.abs(ref_w).max() > 0
+
+
+# ---- idr-mode variant --------------------------------------------------
+
+RCFG_IDR = RenderingNetConfig(
+    feature_vector_size=16, mode="idr", d_in=9, dims=(32, 32),
+    embed_type="positional", multires=3, compute_dtype="bfloat16")
+
+
+def _ref_idr(p_imp, p_rad, pts, dirs):
+    sdf, feat, grad = sdf_outputs(p_imp, ICFG, pts, returns_grad=True)
+    rgb = rendering_net_apply(p_rad, RCFG_IDR, pts, grad, dirs, feat)
+    return sdf, grad, rgb
+
+
+def test_supports_idr_mode():
+    assert supports_render_core(ICFG, RCFG_IDR)
+    pe_pts = RenderingNetConfig(**{**RCFG_IDR.__dict__,
+                                   "embed_point_multires": 2})
+    assert not supports_render_core(ICFG, pe_pts)
+
+
+def test_idr_forward_values_match(setup):
+    p_imp, _, pts, dirs, _, _ = setup
+    from i2sdf_tpu.models.mlp import rendering_net_init as rinit
+
+    p_rad = rinit(jax.random.PRNGKey(11), RCFG_IDR)
+    s_ref, g_ref, rgb_ref = _ref_idr(p_imp, p_rad, pts, dirs)
+    s, g, rgb = render_core_fused(p_imp, ICFG, p_rad, RCFG_IDR, pts, dirs,
+                                  block_rows=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                               atol=0.02, rtol=0.02)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               atol=0.05, rtol=0.08)
+    np.testing.assert_allclose(np.asarray(rgb), np.asarray(rgb_ref),
+                               atol=0.03, rtol=0.05)
+
+
+def test_idr_param_gradients_match(setup):
+    """idr couples the radiance input to the SDF spatial gradient — the
+    backward must route the radiance's gradient cotangent through the
+    second-order sweeps (verified vs jax.grad of the XLA composition)."""
+    p_imp, _, pts, dirs, gt_rgb, gt_n = setup
+    from i2sdf_tpu.models.mlp import rendering_net_init as rinit
+
+    p_rad = rinit(jax.random.PRNGKey(12), RCFG_IDR)
+
+    def loss_ref(ps):
+        return _loss(*_ref_idr(ps["i"], ps["r"], pts, dirs), gt_rgb, gt_n)
+
+    def loss_ker(ps):
+        s, g, rgb = render_core_fused(ps["i"], ICFG, ps["r"], RCFG_IDR,
+                                      pts, dirs, block_rows=32,
+                                      interpret=True)
+        return _loss(s, g, rgb, gt_rgb, gt_n)
+
+    ps = {"i": p_imp, "r": p_rad}
+    v_ref, g_ref = jax.value_and_grad(loss_ref)(ps)
+    v_ker, g_ker = jax.value_and_grad(loss_ker)(ps)
+    np.testing.assert_allclose(float(v_ker), float(v_ref), rtol=0.02)
+    flat_ker = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(g_ker)}
+    for k, ref_leaf in jax.tree_util.tree_leaves_with_path(g_ref):
+        ks = jax.tree_util.keystr(k)
+        ker_leaf = flat_ker[ks]
+        denom = np.maximum(np.abs(np.asarray(ref_leaf)).max(), 1e-3)
+        err = np.abs(np.asarray(ker_leaf) - np.asarray(ref_leaf)).max()
+        assert err / denom < 0.35, (ks, err, denom)
