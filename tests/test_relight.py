@@ -105,3 +105,24 @@ def test_run_relight_end_to_end(scene, tmp_path):
     assert os.path.exists(os.path.join(out, "0000_specular.png"))
     img = np.asarray(res["images"][0]["mean_radiance"])
     assert np.isfinite(img)
+
+
+def test_run_relight_full_res_with_downsample_conf(scene, tmp_path):
+    """Regression (ADVICE r1): with dataset.downsample set in the conf,
+    --full_res used to pass 'downsample' twice into RelightData and
+    crash with TypeError. The conf key must always be popped."""
+    node = CfgNode({
+        "train": {"split_n_pixels": 512},
+        "dataset": {"data_dir": "demo", "img_res": [20, 24],
+                    "downsample": 2},
+        "model": dict(TINY_MODEL),
+    })
+    model_node = node.model
+    model_node.use_normal = False
+    cfg = renderer.I2SDFConfig.from_cfgnode(model_node)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    res = run_relight(params, cfg, node, str(tmp_path),
+                      data_root=scene, indices=[0], spp=1,
+                      n_emitters=1, chunk=256, vis_steps=4,
+                      fused=False, full_res=True)
+    assert res["emitters"] == 1
