@@ -1,0 +1,98 @@
+"""Trainer-owned per-ray phase selection: the jitted step is swapped
+(and cached) when the learned beta crosses PER_RAY_PHASES boundaries."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from i2sdf_tpu.config import load_cfg
+from i2sdf_tpu.data import generate_synthetic_scene
+from i2sdf_tpu.train.step import PER_RAY_PHASES
+from i2sdf_tpu.train.trainer import ReconstructionTrainer
+
+CONF = {
+    "train": {"expname": "ph", "learning_rate": 5e-4, "steps": 100,
+              "checkpoint_freq": 1000, "plot_freq": 1000,
+              "split_n_pixels": 512, "batch_size": 64},
+    "plot": {"plot_nimgs": 1, "grid_boundary": [-2.2, 2.2]},
+    "loss": {"eikonal_weight": 0.1, "depth_weight": 0.1},
+    "dataset": {"data_dir": "demo", "img_res": [16, 20], "downsample": 1},
+    "model": {
+        "feature_vector_size": 16, "scene_bounding_sphere": 4.0,
+        "implicit_network": {
+            "d_in": 3, "d_out": 1, "dims": [16, 16],
+            "geometric_init": True, "bias": 0.6, "skip_in": [],
+            "weight_norm": True, "embed_type": "positional",
+            "multires": 2},
+        "rendering_network": {
+            "mode": "nerf", "d_in": 3, "d_out": 3, "dims": [16],
+            "weight_norm": True, "embed_type": "positional",
+            "multires": 2},
+        "density": {"params_init": {"beta": 0.1}, "beta_min": 1e-4},
+        "ray_sampler": {
+            "near": 0.0, "N_samples": 8, "N_samples_eval": 16,
+            "N_samples_extra": 4, "eps": 0.1, "beta_iters": 3,
+            "max_total_iters": 2, "per_ray_exit": True},
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    root = tmp_path_factory.mktemp("phases")
+    generate_synthetic_scene(str(root / "data" / "demo"), n_images=2,
+                             img_res=(16, 20))
+    conf_path = str(root / "conf.yml")
+    yaml.safe_dump(CONF, open(conf_path, "w"))
+    return ReconstructionTrainer(load_cfg(conf_path),
+                                 exp_dir=str(root / "exp"),
+                                 data_root=str(root / "data"))
+
+
+def test_base_cfg_keeps_per_ray_off(trainer):
+    # the trainer owns phase selection: the base model cfg must not
+    # bake compaction in
+    assert trainer.auto_per_ray
+    assert not trainer.model_cfg.sampler.per_ray_exit
+
+
+def _set_beta(trainer, beta):
+    trainer.state = trainer.state._replace(
+        params=dict(trainer.state.params, beta=jnp.float32(beta)))
+
+
+def test_phase_swaps_follow_beta(trainer):
+    _set_beta(trainer, 0.1)
+    trainer._update_per_ray_phase()
+    assert trainer._per_ray_fracs is None  # global exit suffices
+    step_large_beta = trainer._step_plain
+
+    _set_beta(trainer, 0.01)
+    trainer._update_per_ray_phase()
+    assert trainer._per_ray_fracs == PER_RAY_PHASES[2][1]
+    assert trainer._step_plain is not step_large_beta
+
+    _set_beta(trainer, 5e-4)
+    trainer._update_per_ray_phase()
+    assert trainer._per_ray_fracs == PER_RAY_PHASES[3][1]
+
+    # returning to a previous phase reuses the cached jitted step
+    _set_beta(trainer, 0.1)
+    trainer._update_per_ray_phase()
+    assert trainer._per_ray_fracs is None
+    assert trainer._step_plain is step_large_beta
+
+
+def test_phase_specialized_step_runs(trainer):
+    _set_beta(trainer, 0.01)
+    trainer._update_per_ray_phase()
+    import jax
+
+    w = trainer.loss_cfg.dynamic_weights(0)
+    state, metrics = trainer._step_plain(
+        trainer.state, trainer.device_data, jax.random.PRNGKey(0), w)
+    trainer.state = state  # the step donates its input state buffers
+    assert np.isfinite(float(metrics["loss"]))
