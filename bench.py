@@ -146,10 +146,6 @@ def main():
         time.sleep(sleep)
         backoff = min(backoff * 2.0, 300.0)
 
-    if chosen is None and cpu_fallback is not None and allow_cpu:
-        _log("[bench] BENCH_ALLOW_CPU=1: measuring on the CPU backend")
-        chosen = cpu_fallback
-
     if chosen is None:
         _emit({
             "metric": "train_rays_per_sec_per_chip",

@@ -341,10 +341,16 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
         # --- emit next round's samples ------------------------------------
         cap = caps[it]
         if per_ray and cap < R:
-            # rank rays unconverged-first (stable argsort keeps ray
-            # order deterministic); the first `cap` rays get the next
-            # refinement round
-            order = jnp.argsort(conv_ray)
+            # rank rays unconverged-first; the first `cap` get the next
+            # refinement round. Ties break on a per-round ROTATED ray
+            # index — a plain stable argsort would starve the same
+            # trailing unconverged rays every round whenever the cap
+            # overflows (deterministic, spatially-correlated skipping);
+            # the rotation round-robins overflow across rounds instead.
+            idx = jnp.arange(R, dtype=jnp.int32)
+            rot = (idx + it * cap) % R
+            key_order = conv_ray.astype(jnp.int32) * R + rot
+            order = jnp.argsort(key_order)
             sel = order[:cap]
             zg, sg, bg = z_vals[sel], sdf[sel], beta[sel]
             u = jnp.broadcast_to(

@@ -60,6 +60,24 @@ def per_ray_fracs_for_beta(beta: float):
     return PER_RAY_PHASES[-1][1]
 
 
+def cfg_with_fracs(model_cfg, fracs):
+    """Specialize a model cfg's sampler to a per-ray capacity phase
+    (None = plain global early exit). Shared by the trainer's step
+    swapping and the eval chunk renderer."""
+    import dataclasses
+
+    if fracs is None:
+        if not model_cfg.sampler.per_ray_exit:
+            return model_cfg
+        return dataclasses.replace(
+            model_cfg, sampler=dataclasses.replace(
+                model_cfg.sampler, per_ray_exit=False))
+    return dataclasses.replace(
+        model_cfg, sampler=dataclasses.replace(
+            model_cfg.sampler, per_ray_exit=True,
+            per_ray_fracs=tuple(fracs)))
+
+
 def make_train_step(model_cfg, tx: optax.GradientTransformation,
                     batch_size: int, mesh=None, bubble: bool = False,
                     bubble_batch_size: int | None = None,
@@ -195,21 +213,7 @@ def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None,
     final learned beta — exactly the regime where the global exit does
     nothing; chunk fns cached per capacity phase).
     """
-    import dataclasses
-
     fused = _auto_fused(fused_sampler)
-
-    def _cfg_for_fracs(fracs):
-        if fracs is None:
-            if not model_cfg.sampler.per_ray_exit:
-                return model_cfg
-            return dataclasses.replace(
-                model_cfg, sampler=dataclasses.replace(
-                    model_cfg.sampler, per_ray_exit=False))
-        return dataclasses.replace(
-            model_cfg, sampler=dataclasses.replace(
-                model_cfg.sampler, per_ray_exit=True,
-                per_ray_fracs=tuple(fracs)))
 
     @partial(jax.jit, static_argnames=("predict_only", "fracs"))
     def render_chunk(params, inputs, predict_only=False, fracs=None):
@@ -220,7 +224,8 @@ def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None,
             inputs = dict(inputs, uv=jax.lax.with_sharding_constraint(
                 inputs["uv"], shard))
         return renderer.render_rays(
-            params, _cfg_for_fracs(fracs), inputs, jax.random.PRNGKey(0),
+            params, cfg_with_fracs(model_cfg, fracs), inputs,
+            jax.random.PRNGKey(0),
             training=False, predict_only=predict_only, fused_sampler=fused)
 
     def render_image(params, uv, intrinsics, pose, predict_only=False):

@@ -204,13 +204,12 @@ class ReconstructionTrainer:
         # _update_per_ray_phase() swaps in phase-specialized steps as
         # beta decays (cached; a handful of recompiles per run).
         self.auto_per_ray = self.model_cfg.sampler.per_ray_exit
+        eval_model_cfg = self.model_cfg  # keeps per_ray_exit: the eval
+        # renderer picks its own beta-matched phase per image
         if self.auto_per_ray:
-            import dataclasses as _dc
+            from .step import cfg_with_fracs
 
-            self.model_cfg = _dc.replace(
-                self.model_cfg,
-                sampler=_dc.replace(self.model_cfg.sampler,
-                                    per_ray_exit=False))
+            self.model_cfg = cfg_with_fracs(self.model_cfg, None)
         self._per_ray_fracs = None
         self._per_ray_check_freq = conf.train.get("per_ray_check_freq", 250)
         self._step_cache = {}
@@ -225,7 +224,7 @@ class ReconstructionTrainer:
         self._step_plain = self._build_step(None, bubble=False)
         self._step_bubble = None  # built lazily at bubble activation
         self.render_image, self._render_chunk = make_eval_render_fn(
-            self.model_cfg, chunk_size=self.split_n_pixels,
+            eval_model_cfg, chunk_size=self.split_n_pixels,
             fused_sampler=fused_sampler, mesh=self.mesh)
 
         # bubble state (device arrays when active)
@@ -314,14 +313,9 @@ class ReconstructionTrainer:
                 trace_dir=trace_dir)
 
     def _cfg_for_fracs(self, fracs):
-        if fracs is None:
-            return self.model_cfg
-        import dataclasses as _dc
+        from .step import cfg_with_fracs
 
-        return _dc.replace(
-            self.model_cfg,
-            sampler=_dc.replace(self.model_cfg.sampler, per_ray_exit=True,
-                                per_ray_fracs=tuple(fracs)))
+        return cfg_with_fracs(self.model_cfg, fracs)
 
     def _build_step(self, fracs, bubble: bool):
         key = (fracs, bubble)

@@ -196,13 +196,16 @@ def test_per_ray_compacted_eval_shapes():
 def test_per_ray_selected_rows_match_plain():
     """Never-converging SDF (eps=1e-12): rays inside the capacity follow
     the exact plain-sampler refinement; rays beyond it still produce
-    sorted, in-range samples."""
+    sorted, in-range samples. Uses 2 total rounds (one emission) so the
+    selected set is unambiguous — with more rounds the per-round
+    rotation deliberately spreads refinement across overflow rays."""
     import dataclasses
 
-    cfg_plain = dataclasses.replace(CFG, eps=1e-12, early_exit=False)
+    cfg_plain = dataclasses.replace(CFG, eps=1e-12, early_exit=False,
+                                    max_total_iters=2)
     cfg_pr = dataclasses.replace(
         CFG, eps=1e-12, early_exit=True, per_ray_exit=True,
-        per_ray_fracs=(0.5,))
+        per_ray_fracs=(0.5,), max_total_iters=2)
     key = jax.random.PRNGKey(3)
     R = 8
     dirs, cam = _unit_rays(key, R)
@@ -214,8 +217,8 @@ def test_per_ray_selected_rows_match_plain():
                                    0.1, True)
     z1, _, e1 = error_bound_z_vals(cfg_pr, sdf_fn, key, dirs, cam,
                                    0.1, True)
-    # stable argsort of an all-False convergence mask keeps ray order:
-    # the first ceil(0.5*R) rays are refined exactly like the plain path
+    # round-0 emission rotation is the identity: rows 0..3 are selected
+    # and refined exactly like the plain path
     np.testing.assert_allclose(np.asarray(z1)[:4], np.asarray(z0)[:4],
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(e1)[:4], np.asarray(e0)[:4],
@@ -226,6 +229,43 @@ def test_per_ray_selected_rows_match_plain():
     assert np.isfinite(zn).all()
 
 
+def test_per_ray_overflow_rotation_spreads_refinement():
+    """With a persistent overflow (all rays unconverged, cap < R) the
+    per-round rotation must select DIFFERENT rays each round instead of
+    starving a fixed trailing set (r2 review finding)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, eps=1e-12, early_exit=True, per_ray_exit=True,
+        per_ray_fracs=(0.5,), max_total_iters=3)
+    R = 8
+    dirs, cam = _unit_rays(jax.random.PRNGKey(6), R)
+
+    eval_points = []
+
+    def sdf_fn(p):
+        eval_points.append(p.shape[0])
+        return jnp.linalg.norm(p, axis=-1) - 1.0
+
+    z, _, _ = error_bound_z_vals(cfg, sdf_fn, jax.random.PRNGKey(0),
+                                 dirs, cam, 0.1, True)
+    # round 0 full (8 rays x N_eval), rounds 1-2 compacted to 4 rays
+    ne = cfg.N_samples_eval
+    assert eval_points == [8 * ne, 4 * ne, 4 * ne]
+    assert np.isfinite(np.asarray(z)).all()
+    # the rotated ranking selects DISJOINT halves on consecutive rounds
+    # when everything stays unconverged
+    conv = np.zeros(R, bool)
+    cap = 4
+    idx = np.arange(R)
+    sels = []
+    for it in range(2):
+        key_order = conv.astype(np.int32) * R + (idx + it * cap) % R
+        sels.append(set(np.argsort(key_order, kind="stable")[:cap]))
+    assert sels[0] == {0, 1, 2, 3}
+    assert sels[1] == {4, 5, 6, 7}
+
+
 def test_per_ray_converged_matches_global_exit():
     """When every ray converges in round 0 (huge eps), selected rows are
     bit-identical to the global early-exit path; unselected rows carry
@@ -233,10 +273,13 @@ def test_per_ray_converged_matches_global_exit():
     zero-width sections) and must stay sorted and in range."""
     import dataclasses
 
-    cfg_g = dataclasses.replace(CFG, eps=1e9, early_exit=True)
+    # single emission round (max_total_iters=2): the rotation is the
+    # identity there, so rows 0..3 are the selected set
+    cfg_g = dataclasses.replace(CFG, eps=1e9, early_exit=True,
+                                max_total_iters=2)
     cfg_pr = dataclasses.replace(
         CFG, eps=1e9, early_exit=True, per_ray_exit=True,
-        per_ray_fracs=(0.5,))
+        per_ray_fracs=(0.5,), max_total_iters=2)
     key = jax.random.PRNGKey(4)
     dirs, cam = _unit_rays(key, 8)
 
@@ -245,7 +288,7 @@ def test_per_ray_converged_matches_global_exit():
 
     z0, _, e0 = error_bound_z_vals(cfg_g, sdf_fn, key, dirs, cam, 0.1, True)
     z1, _, e1 = error_bound_z_vals(cfg_pr, sdf_fn, key, dirs, cam, 0.1, True)
-    # stable argsort of an all-True mask keeps ray order: rows 0..3 selected
+    # rows 0..3 selected (identity rotation on the only emission round)
     np.testing.assert_allclose(np.asarray(z1)[:4], np.asarray(z0)[:4],
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(e1)[:4], np.asarray(e0)[:4],
