@@ -245,3 +245,30 @@ def test_weak_scaling_bench_runs():
     assert [r["devices"] for r in rows] == [1, 2]
     assert rows[1]["batch"] == 2 * rows[0]["batch"]
     assert summary and "2" in summary[0]["efficiency_vs_1dev"]
+
+
+@pytest.mark.multidevice
+def test_per_ray_sharded_step_matches_single_device():
+    """Per-ray compaction under DP sharding: the global unconverged-first
+    argsort + gather/scatter induce cross-shard collectives — the
+    sharded step must still match single-device numerics exactly."""
+    import dataclasses
+
+    cfg, state, tx, w = setup()
+    cfg = dataclasses.replace(
+        cfg, sampler=dataclasses.replace(
+            cfg.sampler, per_ray_exit=True, per_ray_fracs=(0.5,),
+            max_total_iters=3, eps=1e-6))  # tight eps: real overflow
+    data = make_data()
+    mesh = make_mesh(8)
+    state_m = state._replace(params=replicate_params(mesh, state.params))
+    step_m = make_train_step(cfg, tx, batch_size=32, mesh=mesh,
+                             donate=False, fused_sampler=False)
+    step_1 = make_train_step(cfg, tx, batch_size=32, donate=False,
+                             fused_sampler=False)
+    key = jax.random.PRNGKey(9)
+    _, m_m = step_m(state_m, data, key, w)
+    _, m_1 = step_1(state, data, key, w)
+    assert np.isfinite(float(m_m["loss"]))
+    np.testing.assert_allclose(float(m_m["loss"]), float(m_1["loss"]),
+                               rtol=1e-4)
