@@ -111,7 +111,10 @@ def _emit(obj):
 
 def main():
     allow_cpu = os.environ.get("BENCH_ALLOW_CPU") == "1"
-    window = float(os.environ.get("BENCH_WINDOW", "1500"))
+    # 15 min default: long enough for a flaky tunnel to come back
+    # ("minutes, not seconds"), short enough that a driver-side timeout
+    # is unlikely to kill us before the structured error JSON prints
+    window = float(os.environ.get("BENCH_WINDOW", "900"))
     probe_timeout = float(os.environ.get("BENCH_INIT_TIMEOUT", "180"))
     child_timeout = float(os.environ.get("BENCH_CHILD_TIMEOUT", "1800"))
     deadline = time.time() + window
