@@ -37,17 +37,21 @@ def _auto_fused(fused_sampler):
 # exit (it converges by round 1-2 at large beta, so compaction adds
 # only overhead there). Capacities are calibrated from the measured
 # per-round converged fractions on the 200k quality checkpoint
-# (scripts/diag_per_ray.py): e.g. at beta=0.03, 31% of rays converge
-# after round 1 and 90% after round 2, while the GLOBAL exit (jnp.all)
-# never fires — a 0.875/0.375/0.25 capacity ladder skips ~35% of all
-# sampler work with headroom over the measured unconverged fractions
-# (overflow rays just defer one round). The trainer re-specializes the
-# jitted step whenever the learned beta crosses a phase boundary
-# (a handful of cached recompiles per run).
+# (scripts/diag_per_ray.py; docs/evidence/round2_cpu.json): e.g. at
+# beta=0.03, 31% of rays converge after round 1 and 90% after round 2,
+# while the GLOBAL exit (jnp.all) never fires. Caps sit well above the
+# measured unconverged fractions; the remaining quality cost comes
+# from CONVERGED rays losing the bonus refinement the reference's
+# global loop gives them — measured on resumed-checkpoint A/Bs at
+# beta=0.01: +4.2% loss at caps (.5,.25), +2.0% at (.75,.5), +1% at
+# the late-schedule phase. The ladder below takes the conservative
+# points; tighten per-config via ray_sampler.per_ray_fracs if speed
+# matters more. The trainer re-specializes the jitted step whenever
+# the learned beta crosses a phase boundary (cached recompiles).
 PER_RAY_PHASES = (
     (0.05, None),
-    (0.02, (1.0, 0.875, 0.375, 0.25)),
-    (0.005, (1.0, 1.0, 0.5, 0.25)),
+    (0.02, (1.0, 0.875, 0.5, 0.375)),
+    (0.005, (1.0, 1.0, 0.75, 0.5)),
     (0.0, (1.0, 1.0, 1.0, 0.5)),
 )
 
