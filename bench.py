@@ -29,7 +29,7 @@ persistent failure prints a structured error JSON so the driver
 artifact is diagnosable instead of a raw traceback.
 
 Env knobs: BENCH_STEPS (timed steps, default 20), BENCH_WINDOW (total
-retry window in seconds, default 1500), BENCH_INIT_TIMEOUT (per-probe
+retry window in seconds, default 900), BENCH_INIT_TIMEOUT (per-probe
 timeout, default 180), BENCH_CHILD_TIMEOUT (measurement timeout,
 default 1800), BENCH_ALLOW_CPU=1 (permit a CPU-backend measurement as
 a last resort — off by default because a CPU number is not the
@@ -184,7 +184,18 @@ def main():
             else:
                 last_err = f"no JSON in child stdout: {p.stdout[-200:]!r}"
                 continue
-            result["platform"] = platform
+            # trust the backend the child ACTUALLY ran on, not the
+            # earlier probe: with auto-pick, a tunnel drop between
+            # probe and measurement would silently fall back to CPU
+            child_platform = result.get("platform")
+            if (child_platform == "cpu" and platform != "cpu"
+                    and not allow_cpu):
+                last_err = ("child fell back to CPU backend "
+                            f"(probe saw {platform})")
+                _log(f"[bench] trial {trial}: {last_err}")
+                time.sleep(30.0 * (trial + 1))
+                continue
+            result.setdefault("platform", platform)
             _emit(result)
             return 0
         lines = (p.stdout + p.stderr).strip().splitlines()
@@ -304,6 +315,9 @@ def child_main():
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        # the backend this measurement actually ran on (the parent
+        # cross-checks it against the probe's pick)
+        "platform": jax.default_backend(),
     }
     print(json.dumps(result))
     return 0

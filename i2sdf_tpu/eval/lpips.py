@@ -130,6 +130,18 @@ def make_lpips():
     def compute(pred, gt):
         a = jnp.asarray(pred, jnp.float32)[None] * 2.0 - 1.0
         b = jnp.asarray(gt, jnp.float32)[None] * 2.0 - 1.0
+        # AlexNet's stride/pool stack collapses to empty feature maps
+        # below ~32 px (mean over zero elements -> NaN); bilinearly
+        # upsample tiny inputs so the metric stays defined on the test
+        # suite's miniature validation renders. Real eval images
+        # (>=240 px) are untouched.
+        h, w = a.shape[1:3]
+        if min(h, w) < 32:
+            scale = 32 / min(h, w)
+            new_hw = (max(int(round(h * scale)), 32),
+                      max(int(round(w * scale)), 32))
+            a = jax.image.resize(a, (1, *new_hw, 3), "bilinear")
+            b = jax.image.resize(b, (1, *new_hw, 3), "bilinear")
         return float(lpips_distance(params, a, b)[0])
 
     compute.name = name

@@ -71,6 +71,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_fused", action="store_true",
                    help="disable the fused Pallas sampler MLP")
+    p.add_argument("--profile", default=None, metavar="START[:COUNT]",
+                   help="capture a jax.profiler trace of COUNT training "
+                        "steps (default 5) starting at step START into "
+                        "<exp_dir>/profile/ (TensorBoard/Perfetto format; "
+                        "the reference has no profiling subsystem)")
     return p
 
 
@@ -126,7 +131,8 @@ def main(argv=None) -> int:
         trainer = ReconstructionTrainer(
             conf, exp_dir, data_root=args.data_root, is_val=args.is_val,
             val_mesh=args.val_mesh, fused_sampler=fused)
-        trainer.fit(max_steps=args.max_steps, resume=args.resume)
+        trainer.fit(max_steps=args.max_steps, resume=args.resume,
+                    profile=args.profile)
         return 0
 
     # ---- test modes: load params from the checkpoint ----------------------

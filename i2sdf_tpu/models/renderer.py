@@ -150,8 +150,10 @@ class I2SDFConfig:
             add_tiny=rs.get("add_tiny", 0.0),
             early_exit=rs.get("early_exit", True),
             per_ray_exit=rs.get("per_ray_exit", False),
-            per_ray_fracs=tuple(rs.get("per_ray_fracs",
-                                        (1.0, 0.5, 0.5, 0.5))),
+            # explicit config tuple = fixed capacities at every beta;
+            # absent = trainer/eval auto ladder (step.py PER_RAY_PHASES)
+            per_ray_fracs=(tuple(rs["per_ray_fracs"])
+                           if "per_ray_fracs" in rs else None),
         )
         return cls(
             feature_vector_size=fvs,

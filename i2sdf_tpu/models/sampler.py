@@ -86,9 +86,12 @@ class SamplerConfig:
     # Unconverged rays beyond the cap skip one round and remain
     # candidates the next; the final weights-pdf round always runs for
     # every ray. Default OFF until per-phase capacities are applied by
-    # the trainer (see train/step.py).
+    # the trainer (see train/step.py). per_ray_fracs=None means "auto":
+    # the trainer/eval renderer pick beta-phased capacities from
+    # train/step.py::PER_RAY_PHASES; an explicit tuple (config key
+    # ray_sampler.per_ray_fracs) is honored verbatim at every beta.
     per_ray_exit: bool = False
-    per_ray_fracs: tuple = (1.0, 0.5, 0.5, 0.5)
+    per_ray_fracs: tuple | None = None
 
     @property
     def far(self) -> float:
@@ -248,7 +251,11 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
     # with sort-free duplicates of their last (far) z-value — zero-width
     # trailing sections, invisible to the downstream pdfs.
     per_ray = cfg.per_ray_exit and cfg.early_exit
-    fracs = tuple(cfg.per_ray_fracs) or (1.0,)
+    # None = "auto" (callers normally specialize via train/step.py's
+    # ladder before building); a bare per_ray sampler falls back to the
+    # historical default capacities.
+    fracs = (tuple(cfg.per_ray_fracs) if cfg.per_ray_fracs
+             else (1.0, 0.5, 0.5, 0.5))
     caps = []
     for it in range(cfg.max_total_iters - 1):
         f = fracs[min(it, len(fracs) - 1)]

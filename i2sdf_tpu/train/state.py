@@ -47,8 +47,6 @@ def make_reference_lr_schedule(learning_rate: float, decay_rate: float,
     """
     import math
 
-    import jax.numpy as jnp
-
     epoch_steps = max(
         int(math.ceil(n_images * total_pixels / batch_size)), 1)
     nepochs = max(int(math.ceil(200_000 / (n_images * total_pixels

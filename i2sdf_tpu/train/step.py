@@ -236,11 +236,15 @@ def make_eval_render_fn(model_cfg, chunk_size: int, mesh=None,
         """uv: (HW, 2); returns dict of (HW, ...) arrays."""
         fracs = None
         if model_cfg.sampler.per_ray_exit:
-            from ..models.density import effective_beta
+            if model_cfg.sampler.per_ray_fracs is not None:
+                # user-pinned capacities (ray_sampler.per_ray_fracs)
+                fracs = tuple(model_cfg.sampler.per_ray_fracs)
+            else:
+                from ..models.density import effective_beta
 
-            beta = float(effective_beta(params["beta"],
-                                        model_cfg.beta_min))
-            fracs = per_ray_fracs_for_beta(beta)
+                beta = float(effective_beta(params["beta"],
+                                            model_cfg.beta_min))
+                fracs = per_ray_fracs_for_beta(beta)
         n = uv.shape[0]
         n_pad = (-n) % chunk_size
         uv_p = jnp.pad(uv, ((0, n_pad), (0, 0)))

@@ -30,6 +30,8 @@ from ..data.recon import ReconData
 from ..models import renderer
 from ..models.losses import LossConfig
 from ..utils.imaging import linear_to_srgb, psnr, ssim
+from ..utils import profiling
+from ..utils.profiling import TraceProfiler
 from . import artifacts
 from .checkpoint import CheckpointManager
 from .state import create_train_state
@@ -206,6 +208,9 @@ class ReconstructionTrainer:
         self.auto_per_ray = self.model_cfg.sampler.per_ray_exit
         eval_model_cfg = self.model_cfg  # keeps per_ray_exit: the eval
         # renderer picks its own beta-matched phase per image
+        # An explicit ray_sampler.per_ray_fracs tuple pins the
+        # capacities at every beta; absent (None) = beta-phased ladder.
+        self._fixed_per_ray_fracs = self.model_cfg.sampler.per_ray_fracs
         if self.auto_per_ray:
             from .step import cfg_with_fracs
 
@@ -337,7 +342,9 @@ class ReconstructionTrainer:
 
         beta = float(effective_beta(self.state.params["beta"],
                                     self.model_cfg.beta_min))
-        fracs = per_ray_fracs_for_beta(beta)
+        fracs = (self._fixed_per_ray_fracs
+                 if self._fixed_per_ray_fracs is not None
+                 else per_ray_fracs_for_beta(beta))
         if fracs == self._per_ray_fracs:
             return
         self._per_ray_fracs = fracs
@@ -360,7 +367,8 @@ class ReconstructionTrainer:
             elif not self.uniform_bubble:
                 print(f"[INFO] Initializing pointcloud PDF "
                       f"({self.pdf_criterion})")
-                self.initialize_bubble_pdf()
+                with profiling.annotate("bubble_pdf_init"):
+                    self.initialize_bubble_pdf()
             else:
                 n = len(self.train_data.pointcloud)
                 print("[INFO] Ablation: uniform bubble sampling")
@@ -378,9 +386,10 @@ class ReconstructionTrainer:
     # -- training loop ------------------------------------------------------
 
     def fit(self, max_steps: int | None = None, resume: bool = False,
-            log_every: int = 50) -> None:
+            log_every: int = 50, profile: str | None = None) -> None:
         max_steps = max_steps or self.max_steps
         self._fit_max_steps = max_steps
+        prof = TraceProfiler.from_spec(self.exp_dir, profile)
         if resume:
             try:
                 bubble_template = None
@@ -416,13 +425,16 @@ class ReconstructionTrainer:
                 self._update_per_ray_phase()
             w = self.loss_cfg.dynamic_weights(step)
             key, k = jax.random.split(key)
-            if self.bubble_activated:
-                self.state, metrics, self.pdf, self.sample_count = (
-                    self._step_bubble(self.state, self.device_data, k, w,
-                                      self.pdf, self.sample_count))
-            else:
-                self.state, metrics = self._step_plain(
-                    self.state, self.device_data, k, w)
+            prof.maybe_start(step)
+            with prof.step(step):
+                if self.bubble_activated:
+                    self.state, metrics, self.pdf, self.sample_count = (
+                        self._step_bubble(self.state, self.device_data, k, w,
+                                          self.pdf, self.sample_count))
+                else:
+                    self.state, metrics = self._step_plain(
+                        self.state, self.device_data, k, w)
+            prof.maybe_stop(step, wait_for=self.state.params)
             pending.append((step, metrics))
             step += 1
 
@@ -431,9 +443,11 @@ class ReconstructionTrainer:
                 pending = []
                 t0 = time.perf_counter()
             if step % self.plot_freq == 0 or step == max_steps:
-                self.validate(step)
+                with profiling.annotate("validation"):
+                    self.validate(step)
             if step % self.checkpoint_freq == 0 or step == max_steps:
                 self.save_checkpoint(step)
+        prof.close(wait_for=self.state.params)
         print("[INFO] Training complete")
 
     def _flush_logs(self, pending, t0) -> None:

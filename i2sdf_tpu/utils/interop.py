@@ -94,7 +94,15 @@ def _rendering_perm(cfg: RenderingNetConfig):
     feat = cfg.feature_vector_size
     if cfg.mode == "idr":
         # [points, PE(view), normals, features] — points un-embedded in
-        # the shipped configs (point_embed_type None)
+        # the shipped configs (point_embed_type None). A point-PE
+        # checkpoint would need its own row permutation for the points
+        # segment; fail fast rather than silently misalign every
+        # downstream segment offset.
+        if cfg.embed_point_multires:
+            raise NotImplementedError(
+                "checkpoint import with idr point PE "
+                "(embed_point_multires set) is not supported — the "
+                "points segment would need its own PE row permutation")
         pts = 3
         return _segmented_perm([pts, view_perm, 3, feat])
     # nerf: [PE(view), features]
@@ -151,10 +159,19 @@ def jax_tree_map(fn, tree):
     return jax.tree.map(fn, tree)
 
 
-def load_torch_checkpoint(path: str) -> dict:
-    """Load a Lightning .ckpt (or bare state-dict .pth) into numpy."""
+def load_torch_checkpoint(path: str, with_meta: bool = False):
+    """Load a Lightning .ckpt (or bare state-dict .pth) into numpy.
+
+    `with_meta=True` also returns the non-weight checkpoint metadata
+    (e.g. Lightning's `global_step`) so callers don't deserialize the
+    file twice."""
     import torch
 
     blob = torch.load(path, map_location="cpu", weights_only=False)
     sd = blob.get("state_dict", blob) if isinstance(blob, dict) else blob
-    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    weights = {k: v.detach().cpu().numpy() for k, v in sd.items()}
+    if not with_meta:
+        return weights
+    meta = ({k: v for k, v in blob.items() if k != "state_dict"}
+            if isinstance(blob, dict) else {})
+    return weights, meta

@@ -177,7 +177,13 @@ def main():
         result["ratio"] = round(jax_rps / torch_rps, 3)
     print(json.dumps(result))
     # machine-readable artifact next to the TPU evidence, so the
-    # same-silicon anchor is not prose-only
+    # same-silicon anchor is not prose-only. Only the full torch-vs-jax
+    # run writes it — a --skip_jax re-check must not clobber the
+    # committed anchor with a partial record missing the ratio.
+    if args.skip_jax:
+        print("skip_jax: not rewriting docs/evidence/cpu_anchor.json",
+              file=sys.stderr)
+        return
     out_path = os.path.join(os.path.dirname(__file__), "..", "docs",
                             "evidence", "cpu_anchor.json")
     with open(out_path, "w") as f:

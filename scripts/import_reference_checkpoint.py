@@ -42,15 +42,10 @@ def main():
     model_node.use_normal = True
     cfg = renderer.I2SDFConfig.from_cfgnode(model_node)
 
-    sd = load_torch_checkpoint(args.ckpt)
+    sd, meta = load_torch_checkpoint(args.ckpt, with_meta=True)
     step = args.step
     if step is None:
-        import torch
-
-        blob = torch.load(args.ckpt, map_location="cpu",
-                          weights_only=False)
-        step = int(blob.get("global_step", 0)) if isinstance(blob, dict) \
-            else 0
+        step = int(meta.get("global_step", 0))
     params = convert_state_dict(sd, cfg)
 
     # sanity: the converted tree must match a fresh init's structure

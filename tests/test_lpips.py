@@ -132,3 +132,18 @@ def test_proxy_self_labels_in_metrics():
         assert fn.name == "lpips"
     else:
         assert fn.name == "lpips-rf"
+
+
+def test_tiny_images_stay_finite():
+    """Below ~32 px AlexNet's stride/pool stack used to collapse to
+    empty feature maps (NaN); tiny inputs are now upsampled first."""
+    import numpy as np
+
+    from i2sdf_tpu.eval.lpips import make_lpips
+
+    fn = make_lpips()
+    rng = np.random.default_rng(0)
+    a = rng.uniform(0, 1, (16, 20, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (16, 20, 3)).astype(np.float32)
+    assert np.isfinite(fn(a, b))
+    assert fn(a, a.copy()) == 0.0

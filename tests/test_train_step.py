@@ -319,3 +319,14 @@ def test_eval_render_per_ray_matches_plain(dataset):
     assert np.abs(a - b).mean() < 5e-3, np.abs(a - b).mean()
     assert np.abs(np.asarray(out_a["depth_values"])
                   - np.asarray(out_b["depth_values"])).mean() < 0.02
+
+
+def test_per_ray_fracs_absent_is_auto_sentinel():
+    """No ray_sampler.per_ray_fracs in the config -> None (= the
+    trainer/eval beta-phased ladder picks capacities); an explicit
+    tuple is preserved verbatim (pinned at every beta)."""
+    node = CfgNode(dict(TINY_MODEL))
+    node.use_normal = False
+    node.ray_sampler.per_ray_exit = True
+    cfg = renderer.I2SDFConfig.from_cfgnode(node)
+    assert cfg.sampler.per_ray_fracs is None

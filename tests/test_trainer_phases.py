@@ -96,3 +96,28 @@ def test_phase_specialized_step_runs(trainer):
         trainer.state, trainer.device_data, jax.random.PRNGKey(0), w)
     trainer.state = state  # the step donates its input state buffers
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.fixture(scope="module")
+def pinned_trainer(tmp_path_factory):
+    """Same tiny setup but with ray_sampler.per_ray_fracs pinned in the
+    config: the trainer must honor it at EVERY beta (no auto ladder)."""
+    root = tmp_path_factory.mktemp("pinned")
+    generate_synthetic_scene(str(root / "data" / "demo"), n_images=2,
+                             img_res=(16, 20))
+    conf = yaml.safe_load(yaml.safe_dump(CONF))
+    conf["model"]["ray_sampler"]["per_ray_fracs"] = [1.0, 0.5]
+    conf_path = str(root / "conf.yml")
+    yaml.safe_dump(conf, open(conf_path, "w"))
+    return ReconstructionTrainer(load_cfg(conf_path),
+                                 exp_dir=str(root / "exp"),
+                                 data_root=str(root / "data"))
+
+
+def test_pinned_fracs_override_ladder(pinned_trainer):
+    t = pinned_trainer
+    assert t._fixed_per_ray_fracs == (1.0, 0.5)
+    for beta in (0.1, 0.01, 5e-4):
+        _set_beta(t, beta)
+        t._update_per_ray_phase()
+        assert t._per_ray_fracs == (1.0, 0.5), beta
