@@ -71,6 +71,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--no_fused", action="store_true",
                    help="disable the fused Pallas sampler MLP")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed before backend use "
+                        "(multi-host TPU slices; coordinator discovered "
+                        "from the TPU pod environment)")
     p.add_argument("--profile", default=None, metavar="START[:COUNT]",
                    help="capture a jax.profiler trace of COUNT training "
                         "steps (default 5) starting at step START into "
@@ -111,6 +115,14 @@ def main(argv=None) -> int:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.expanduser("~/.jax_cache"))
     import jax
+
+    if args.multihost:
+        # must run before the first backend touch (jax.devices below)
+        from .parallel import initialize_multihost
+
+        n_proc = initialize_multihost()
+        print(f"[INFO] multi-host: process {jax.process_index()} "
+              f"of {n_proc}")
 
     from .config import load_cfg
     from .models import renderer

@@ -1,3 +1,5 @@
-from .mesh import make_mesh, replicate_params, shard_batch
+from .mesh import (initialize_multihost, make_mesh, replicate_params,
+                   shard_batch)
 
-__all__ = ["make_mesh", "replicate_params", "shard_batch"]
+__all__ = ["initialize_multihost", "make_mesh", "replicate_params",
+           "shard_batch"]

@@ -219,6 +219,14 @@ class ReconstructionTrainer:
         self._per_ray_check_freq = conf.train.get("per_ray_check_freq", 250)
         self._step_cache = {}
 
+        if self.mesh is not None:
+            # replicate the device-resident dataset explicitly: on a
+            # single host jit would auto-reshard anyway, but multi-host
+            # slices cannot reshard host-local arrays (parallel/mesh.py)
+            from ..parallel import replicate_params as _rep_data
+
+            self.device_data = _rep_data(self.mesh, self.device_data)
+
         step_kwargs = dict(
             pdf_prune=self.train_data.pdf_prune,
             pdf_max=self.train_data.pdf_max,

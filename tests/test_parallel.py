@@ -272,3 +272,36 @@ def test_per_ray_sharded_step_matches_single_device():
     assert np.isfinite(float(m_m["loss"]))
     np.testing.assert_allclose(float(m_m["loss"]), float(m_1["loss"]),
                                rtol=1e-4)
+
+
+def test_multihost_placement_path_matches_device_put():
+    """parallel/mesh.py routes array creation through
+    make_array_from_callback when process_count > 1 (device_put cannot
+    place cross-host shards). Fake a 2-process world on the CPU mesh:
+    the callback path must produce identical values and shardings."""
+    import numpy as np
+
+    from i2sdf_tpu.parallel import make_mesh, replicate_params, shard_batch
+    from i2sdf_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh(4)
+    x = np.arange(4 * 6, dtype=np.float32).reshape(4, 6)
+    ref_sharded = shard_batch(mesh, {"x": x})["x"]
+    ref_repl = replicate_params(mesh, {"w": x})["w"]
+
+    orig = mesh_mod.jax.process_count
+    mesh_mod.jax.process_count = lambda: 2
+    try:
+        got_sharded = shard_batch(mesh, {"x": x})["x"]
+        got_repl = replicate_params(mesh, {"w": x})["w"]
+    finally:
+        mesh_mod.jax.process_count = orig
+
+    np.testing.assert_array_equal(np.asarray(got_sharded), x)
+    np.testing.assert_array_equal(np.asarray(got_repl), x)
+    assert got_sharded.sharding == ref_sharded.sharding
+    assert got_repl.sharding == ref_repl.sharding
+
+
+def test_initialize_multihost_exported():
+    from i2sdf_tpu.parallel import initialize_multihost  # noqa: F401
