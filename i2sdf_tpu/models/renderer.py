@@ -215,6 +215,12 @@ def depth2pts_outside(ray_o, ray_d, depth, bounding_sphere: float):
     return jnp.concatenate([p_new, depth[..., None]], axis=-1)
 
 
+def _bg_fused_enabled(training: bool, fused_sampler, fused_train_grad):
+    """Gate for the fused bg MLP pair (tests monkeypatch this to force
+    the branch on the CPU backend in interpret mode)."""
+    return fused_train_grad if training else fused_sampler
+
+
 def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
                 training: bool, predict_only: bool = False,
                 sdf_fn_nograd=None, fused_sampler: bool = False,
@@ -396,14 +402,32 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
         bg_locs = jnp.broadcast_to(cam_loc[:, None, :], (R, Nbg, 3))
         bg_points = depth2pts_outside(
             bg_locs, bg_dirs, z_bg, cfg.scene_bounding_sphere)
-        bg_out = mlp.implicit_net_apply(
-            params["bg_implicit"], cfg.bg_implicit,
-            bg_points.reshape(-1, 4))
-        bg_sdf = bg_out[:, :1]
-        bg_feat = bg_out[:, 1:]
-        bg_rgb_flat = mlp.rendering_net_apply(
-            params["bg_rendering"], cfg.bg_rendering, None, None,
-            bg_dirs.reshape(-1, 3), bg_feat)
+        bg_fused = _bg_fused_enabled(training, fused_sampler,
+                                     fused_train_grad)
+        if bg_fused:
+            from ..ops.pallas.fused_bg import (bg_core_fused,
+                                               supports_bg_core)
+
+            bg_fused = supports_bg_core(cfg.bg_implicit, cfg.bg_rendering)
+        if bg_fused:
+            # both bg MLPs in one launch pair (fwd + first-order bwd);
+            # nothing upstream of the inverse-sphere points is trainable
+            # so no spatial-gradient machinery is needed (fused_bg.py)
+            bg_params = (params if training
+                         else jax.lax.stop_gradient(params))
+            bg_sdf, bg_rgb_flat = bg_core_fused(
+                bg_params["bg_implicit"], cfg.bg_implicit,
+                bg_params["bg_rendering"], cfg.bg_rendering,
+                bg_points.reshape(-1, 4), bg_dirs.reshape(-1, 3))
+        else:
+            bg_out = mlp.implicit_net_apply(
+                params["bg_implicit"], cfg.bg_implicit,
+                bg_points.reshape(-1, 4))
+            bg_sdf = bg_out[:, :1]
+            bg_feat = bg_out[:, 1:]
+            bg_rgb_flat = mlp.rendering_net_apply(
+                params["bg_rendering"], cfg.bg_rendering, None, None,
+                bg_dirs.reshape(-1, 3), bg_feat)
         bg_rgb = bg_rgb_flat.reshape(R, Nbg, 3)
         bg_density = abs_density(bg_sdf).reshape(R, Nbg)
         bg_weights = render_weights_bg(z_bg, bg_density)
