@@ -423,7 +423,12 @@ class ReconstructionTrainer:
             except FileNotFoundError:
                 print("[INFO] No checkpoint found, starting fresh")
 
-        key = jax.random.PRNGKey(self.conf.get("seed", 42) + 1)
+        # per-step keys are folded from (base, step), not split
+        # sequentially: a resumed run replays the exact key an
+        # uninterrupted run would have used at the same step, so
+        # checkpoint/resume is bit-deterministic (the reference's
+        # Lightning resume replays its RNG stream from the start)
+        base_key = jax.random.PRNGKey(self.conf.get("seed", 42) + 1)
         pending = []
         t0 = time.perf_counter()
         step = int(self.state.step)
@@ -432,7 +437,7 @@ class ReconstructionTrainer:
             if self.auto_per_ray and step % self._per_ray_check_freq == 0:
                 self._update_per_ray_phase()
             w = self.loss_cfg.dynamic_weights(step)
-            key, k = jax.random.split(key)
+            k = jax.random.fold_in(base_key, step)
             prof.maybe_start(step)
             with prof.step(step):
                 if self.bubble_activated:

@@ -58,3 +58,43 @@ def test_multiple_saves_keep_latest(tmp_path):
     restored, _ = mgr.restore(state, step=20)
     assert int(restored.step) == 20
     mgr.close()
+
+
+def test_resume_is_bit_deterministic(tmp_path):
+    """5 steps + checkpoint + resume to 10 must equal 10 straight steps
+    bit-for-bit: per-step keys are fold_in(base, step), so a resumed
+    run replays the exact RNG stream (the reference's Lightning resume
+    does not)."""
+    import yaml
+
+    from i2sdf_tpu.config import load_cfg
+    from i2sdf_tpu.data import generate_synthetic_scene
+    from i2sdf_tpu.train.trainer import ReconstructionTrainer
+    from tests.test_trainer_phases import CONF
+
+    root = tmp_path
+    generate_synthetic_scene(str(root / "data" / "demo"), n_images=2,
+                             img_res=(16, 20))
+    conf = yaml.safe_load(yaml.safe_dump(CONF))
+    conf["model"]["ray_sampler"]["per_ray_exit"] = False
+    conf["train"]["plot_freq"] = 10_000  # no val renders mid-run
+    conf_path = str(root / "conf.yml")
+    yaml.safe_dump(conf, open(conf_path, "w"))
+
+    def make(exp):
+        return ReconstructionTrainer(load_cfg(conf_path),
+                                     exp_dir=str(root / exp),
+                                     data_root=str(root / "data"))
+
+    straight = make("straight")
+    straight.fit(max_steps=10)
+
+    t1 = make("resumed")
+    t1.fit(max_steps=5)  # saves a checkpoint at step 5 (== max_steps)
+    t2 = make("resumed")
+    t2.fit(max_steps=10, resume=True)
+
+    leaves_a = jax.tree_util.tree_leaves(straight.state.params)
+    leaves_b = jax.tree_util.tree_leaves(t2.state.params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
