@@ -141,29 +141,45 @@ def sphere_trace_visibility(sdf_fn, origins, dirs, t_max,
     return (reached | clear).astype(jnp.float32)
 
 
+def incident_radiance(sdf_fn, centers, radii, radiance, points, dirs,
+                      n_steps: int = 32):
+    """(N, 3) incoming radiance at `points` along `dirs`: per-emitter
+    ray-sphere intersection gated by sphere-traced visibility.
+
+    `radiance` (E, 3) is an ordinary traced argument, so gradients flow
+    through it — the material-optimization stage (train/material.py)
+    learns per-emitter emission this way (the reference's dead
+    per-emitter learnable emission params,
+    `/root/reference/model/network/__init__.py:49-75`)."""
+    n_emitters = centers.shape[0]
+    total = jnp.zeros_like(points)
+    for e in range(n_emitters):
+        oc = points - centers[e]
+        b = jnp.sum(oc * dirs, -1)
+        c = jnp.sum(oc * oc, -1) - radii[e] ** 2
+        disc = b * b - c
+        t_hit = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        inside = c < 0.0  # shading point inside the emitter sphere
+        hits = ((disc > 0.0) & (t_hit > 1e-3)) | inside
+        # trace only up to just outside the emitter surface
+        t_cap = jnp.where(hits, jnp.maximum(t_hit * 0.98, 1e-3), 1e-3)
+        vis = sphere_trace_visibility(sdf_fn, points, dirs, t_cap,
+                                      n_steps=n_steps)
+        vis = jnp.where(inside, 1.0, vis)
+        total = total + (radiance[e][None, :]
+                         * hits[:, None] * vis[:, None])
+    return total
+
+
 def make_incident_radiance_fn(sdf_fn, emitters: Emitters,
                               n_steps: int = 32):
-    """(points, dirs) -> (N, 3) incoming radiance: per-emitter
-    ray-sphere intersection gated by sphere-traced visibility."""
+    """(points, dirs) -> (N, 3) incoming radiance with the emitter set
+    closed over as constants (the relight eval path)."""
 
     def li(points, dirs):
-        total = jnp.zeros_like(points)
-        for e in range(emitters.count):
-            oc = points - emitters.centers[e]
-            b = jnp.sum(oc * dirs, -1)
-            c = jnp.sum(oc * oc, -1) - emitters.radii[e] ** 2
-            disc = b * b - c
-            t_hit = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
-            inside = c < 0.0  # shading point inside the emitter sphere
-            hits = ((disc > 0.0) & (t_hit > 1e-3)) | inside
-            # trace only up to just outside the emitter surface
-            t_cap = jnp.where(hits, jnp.maximum(t_hit * 0.98, 1e-3), 1e-3)
-            vis = sphere_trace_visibility(sdf_fn, points, dirs, t_cap,
-                                          n_steps=n_steps)
-            vis = jnp.where(inside, 1.0, vis)
-            total = total + (emitters.radiance[e][None, :]
-                             * hits[:, None] * vis[:, None])
-        return total
+        return incident_radiance(sdf_fn, emitters.centers, emitters.radii,
+                                 emitters.radiance, points, dirs,
+                                 n_steps=n_steps)
 
     return li
 

@@ -64,6 +64,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(keys: mask/normal/rough/kd/ks -> image paths)")
     p.add_argument("--n_emitters", type=int, default=1)
     p.add_argument("--emitter_scale", type=float, default=1.0)
+    p.add_argument("--material", action="store_true",
+                   help="train the material stage (intrinsic "
+                        "decomposition) on top of this experiment's "
+                        "reconstruction checkpoint; config via the "
+                        "optional `material:` YAML section")
     p.add_argument("--device_ids", type=int, nargs="*", default=None,
                    help="accepted for reference-CLI parity; device choice "
                         "is jax.devices() on TPU")
@@ -101,7 +106,9 @@ def resolve_exp_dir(args, conf) -> str:
                 m = re.fullmatch(r"version_(\d+)", d)
                 if m:
                     existing.append(int(m.group(1)))
-        if args.test or args.resume:
+        if args.test or args.resume or getattr(args, "material", False):
+            # modes that load this experiment's checkpoint resolve to
+            # the latest existing version instead of allocating a new one
             version = max(existing) if existing else 0
         else:
             version = max(existing) + 1 if existing else 0
@@ -139,7 +146,7 @@ def main(argv=None) -> int:
     print(f"[INFO] devices: {jax.devices()}")
     fused = False if args.no_fused else None
 
-    if not args.test:
+    if not args.test and not args.material:
         trainer = ReconstructionTrainer(
             conf, exp_dir, data_root=args.data_root, is_val=args.is_val,
             val_mesh=args.val_mesh, fused_sampler=fused)
@@ -147,7 +154,7 @@ def main(argv=None) -> int:
                     profile=args.profile)
         return 0
 
-    # ---- test modes: load params from the checkpoint ----------------------
+    # ---- test/material modes: load params from the checkpoint -------------
     model_conf = conf.model
     model_conf.use_normal = False
     model_cfg = renderer.I2SDFConfig.from_cfgnode(model_conf)
@@ -158,6 +165,15 @@ def main(argv=None) -> int:
     state, _ = ckpt.restore(state, step=step)
     params = state.params
     print(f"[INFO] restored checkpoint @{int(state.step)}")
+
+    if args.material:
+        from .train.material import MaterialTrainer
+
+        mt = MaterialTrainer(conf, exp_dir, recon_params=params,
+                             model_cfg=model_cfg, data_root=args.data_root,
+                             fused=fused, seed=args.seed)
+        mt.fit(max_steps=args.max_steps)
+        return 0
 
     if args.test_mode == "render":
         from .eval.render import run_render_eval

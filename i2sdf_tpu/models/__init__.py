@@ -1,3 +1,4 @@
-from . import density, embedder, mlp, renderer, sampler
+from . import density, embedder, material, mlp, renderer, sampler
 
-__all__ = ["density", "embedder", "mlp", "renderer", "sampler"]
+__all__ = ["density", "embedder", "material", "mlp", "renderer",
+           "sampler"]

@@ -26,6 +26,14 @@ from . import brdf
 class RenderingLayerConfig:
     spp: int = 64
     diffuse_model: str = "lambert"  # 'lambert' | 'disney'
+    # Detach the importance-sampling distribution (event choice, sampled
+    # directions, pdf) from the autodiff graph, differentiating only the
+    # BRDF value f and the incident radiance. This is the standard
+    # biased-but-stable estimator for inverse rendering: the score-
+    # function term of d/dtheta E_{l~pdf_theta}[f/pdf] is dropped, which
+    # avoids the high-variance 1/pdf^2 gradients near grazing samples.
+    # Off for forward rendering (relight), on for material optimization.
+    detach_sampling: bool = False
 
 
 def shade(cfg: RenderingLayerConfig, key, points, normals, view_dirs,
@@ -39,7 +47,12 @@ def shade(cfg: RenderingLayerConfig, key, points, normals, view_dirs,
     Returns dict(color_diffuse (N, 3), color_specular (N, 3)).
     """
     n_pts = points.shape[0]
-    p_spec = brdf.specular_event_probability(kd, ks)  # (N,)
+    if cfg.detach_sampling:
+        kd_s, ks_s, rough_s = map(jax.lax.stop_gradient,
+                                  (kd, ks, roughness))
+    else:
+        kd_s, ks_s, rough_s = kd, ks, roughness
+    p_spec = brdf.specular_event_probability(kd_s, ks_s)  # (N,)
 
     def one_sample(k):
         k_ev, k_diff, k_spec = jax.random.split(k, 3)
@@ -48,11 +61,11 @@ def shade(cfg: RenderingLayerConfig, key, points, normals, view_dirs,
 
         l_diff, _ = brdf.sample_cosine_hemisphere(k_diff, normals)
         l_spec, _ = brdf.sample_ggx_vndf(k_spec, normals, view_dirs,
-                                         roughness)
+                                         rough_s)
         l = jnp.where(take_spec[:, None], l_spec, l_diff)
 
         cos_l = jnp.clip(jnp.sum(normals * l, -1), 0.0, 1.0)
-        pdf = brdf.combined_pdf(kd, ks, roughness, normals, view_dirs, l)
+        pdf = brdf.combined_pdf(kd_s, ks_s, rough_s, normals, view_dirs, l)
         li = incident_radiance_fn(points, l)
 
         w = (cos_l / jnp.maximum(pdf, 1e-6))[:, None]

@@ -1,0 +1,421 @@
+"""Material-optimization (intrinsic decomposition) training stage.
+
+Second stage of the paper's pipeline: given a reconstructed scene
+(frozen SDF + radiance checkpoint from the reconstruction stage), learn
+a spatial material field (kd / ks / roughness, `models/material.py`) and
+per-emitter emission so that Monte-Carlo direct lighting of the frozen
+geometry (`models/rendering_layer.py`) reproduces the observed images.
+The reference scaffolds every ingredient of this stage but never
+released the trainer itself (`/root/reference/README.md:77-79`;
+MaterialDataset `dataset/train_dataset.py:212-350`, RenderingLayer
+`model/rendering/__init__.py`, emission params
+`model/network/__init__.py:49-75` are all dead code there) — this module
+completes it.
+
+TPU-first design:
+- Geometry is BAKED once up front: every training pixel's surface point,
+  normal and view direction come from one chunked eval render of the
+  frozen model (the same sharded path validation uses), so the per-step
+  program is pure shading — no volume rendering, no sampler. The bake is
+  the exact analog of the reference trainer's one-off full-image render
+  event (`model/trainer/recon.py:172-199`), reused for a new purpose.
+- The train step is one jitted program: on-device batch gather from the
+  baked buffers, material MLP, spp-vmapped MC shading with sphere-traced
+  emitter visibility (fixed-iteration `fori_loop`), L1 + smoothness
+  losses, Adam. Sampling is detached (`RenderingLayerConfig.
+  detach_sampling`) so material gradients flow through the BRDF value
+  and emission only — the standard stable inverse-rendering estimator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.material import MaterialData
+from ..data.recon import ReconData
+from ..models import mlp, renderer
+from ..models.material import (MaterialNetConfig, emission_apply,
+                               emission_init, material_net_apply,
+                               material_net_init)
+from ..models.rendering_layer import RenderingLayerConfig, shade
+from ..train import artifacts
+from ..train.checkpoint import CheckpointManager
+from ..train.state import create_train_state
+from ..train.step import make_eval_render_fn
+from ..utils.cameras import get_camera_params
+from ..utils.imaging import linear_to_srgb, psnr
+
+
+@dataclasses.dataclass(frozen=True)
+class MaterialTrainConfig:
+    steps: int = 20_000
+    batch_size: int = 2048
+    learning_rate: float = 5e-4
+    decay_rate: float = 0.1
+    spp: int = 8
+    vis_steps: int = 24
+    smooth_weight: float = 0.01
+    smooth_eps: float = 0.01  # world-space jitter for the smoothness pair
+    # dielectric prior on specular albedo: a maximally-rough GGX lobe is
+    # nearly view-independent, so without a prior the optimizer can dump
+    # diffuse energy into (high ks, rough~1) — an identifiability gap,
+    # not a bug. Pulling ks toward the common dielectric F0 (0.04)
+    # breaks the tie the way inverse-rendering pipelines usually do.
+    ks_prior: float = 0.04
+    ks_prior_weight: float = 0.01
+    n_emitters: int = 1
+    emitter_scale: float = 1.0
+    diffuse_model: str = "lambert"
+    min_weight_sum: float = 0.5  # bake validity: ray must hit surface
+    checkpoint_freq: int = 5000
+    plot_freq: int = 1000
+    downsample_train: int = 1
+
+    @classmethod
+    def from_cfgnode(cls, node) -> "MaterialTrainConfig":
+        kw = {f.name: node.get(f.name, f.default)
+              for f in dataclasses.fields(cls)
+              if not isinstance(f.default, dataclasses._MISSING_TYPE)}
+        return cls(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Geometry bake
+# ---------------------------------------------------------------------------
+
+
+def bake_image_geometry(params, model_cfg, render_image, uv, K, pose,
+                        min_weight_sum: float = 0.5):
+    """One image's per-pixel surface geometry from the frozen model.
+
+    Returns dict(points (HW,3), normals (HW,3), view_dirs (HW,3),
+    valid (HW,) bool). `render_image` is a make_eval_render_fn callable.
+    """
+    uv = jnp.asarray(uv, jnp.float32)
+    K = jnp.asarray(K, jnp.float32)
+    pose = jnp.asarray(pose, jnp.float32)
+    out = render_image(params, uv, K, pose)
+    ray_dirs, cam_loc = get_camera_params(uv[None], pose[None], K[None])
+    norms = jnp.linalg.norm(ray_dirs[0], axis=-1, keepdims=True)
+    units = ray_dirs[0] / jnp.maximum(norms, 1e-12)
+    # depth_values is z-depth (divided by the unnormalized ray norm,
+    # reference `model/network/__init__.py:124-125`); distance along the
+    # unit ray is depth * |ray_dir|
+    dist = out["depth_values"].reshape(-1) * norms[:, 0]
+    points = cam_loc[0][None, :] + dist[:, None] * units
+    normals = out["normal_map"].reshape(-1, 3)
+    wsum = out["weight_sum"].reshape(-1)
+    valid = (jnp.isfinite(dist) & (dist > 1e-3)
+             & (wsum > min_weight_sum)
+             & (jnp.linalg.norm(normals, axis=-1) > 0.5))
+    return {"points": points, "normals": normals, "view_dirs": -units,
+            "valid": valid}
+
+
+def bake_geometry(params, model_cfg, render_image, data: MaterialData,
+                  min_weight_sum: float = 0.5, log=print):
+    """Bake every training image; returns flat valid-only device arrays
+    (points, normals, view_dirs, rgb) plus the per-image raw buffers for
+    validation renders."""
+    per_image = []
+    flat = {k: [] for k in ("points", "normals", "view_dirs", "rgb")}
+    for i in range(data.n_images):
+        g = bake_image_geometry(params, model_cfg, render_image, data.uv,
+                                data.intrinsics_all[i], data.pose_all[i],
+                                min_weight_sum=min_weight_sum)
+        g = {k: np.asarray(v) for k, v in g.items()}
+        per_image.append(g)
+        sel = g["valid"]
+        flat["points"].append(g["points"][sel])
+        flat["normals"].append(g["normals"][sel])
+        flat["view_dirs"].append(g["view_dirs"][sel])
+        flat["rgb"].append(np.asarray(data.rgb_images[i])[sel])
+        log(f"[material] baked view {i}: {int(sel.sum())}/{sel.size} "
+            "valid pixels")
+    train = {k: jnp.asarray(np.concatenate(v), jnp.float32)
+             for k, v in flat.items()}
+    n = int(train["points"].shape[0])
+    if n == 0:
+        raise ValueError("geometry bake produced no valid surface pixels "
+                         "(is the reconstruction checkpoint trained?)")
+    return train, per_image
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+
+def make_material_train_step(mat_cfg: MaterialNetConfig,
+                             tcfg: MaterialTrainConfig,
+                             sdf_fn, centers, radii, tx):
+    """One jitted optimization step over the baked geometry buffers.
+
+    `sdf_fn(pts) -> (N,)` is the FROZEN scene SDF used for emitter
+    visibility (the trainer closes it over the reconstruction
+    checkpoint; tests inject analytic SDFs)."""
+    from ..eval.relight import incident_radiance
+
+    layer_cfg = RenderingLayerConfig(spp=tcfg.spp,
+                                     diffuse_model=tcfg.diffuse_model,
+                                     detach_sampling=True)
+    # the train step shades TWO independent half-spp buffers (see
+    # loss_fn), so per-step sample cost equals tcfg.spp
+    layer_half = RenderingLayerConfig(spp=max(tcfg.spp // 2, 1),
+                                      diffuse_model=tcfg.diffuse_model,
+                                      detach_sampling=True)
+    centers = jnp.asarray(centers, jnp.float32)
+    radii = jnp.asarray(radii, jnp.float32)
+
+    def predict_with(lcfg, params, key, pts, normals, view_dirs):
+        mats = material_net_apply(params["material"], mat_cfg, pts)
+        radiance = emission_apply(params["emission"])
+
+        def li(p, d):
+            return incident_radiance(sdf_fn, centers, radii, radiance,
+                                     p, d, n_steps=tcfg.vis_steps)
+
+        out = shade(lcfg, key, pts, normals, view_dirs,
+                    mats["kd"], mats["ks"], mats["rough"], li)
+        return out["color_diffuse"] + out["color_specular"], mats
+
+    def predict(params, key, pts, normals, view_dirs):
+        return predict_with(layer_cfg, params, key, pts, normals,
+                            view_dirs)
+
+    def loss_fn(params, key, pts, normals, view_dirs, gt):
+        k_a, k_b, k_jit = jax.random.split(key, 3)
+        # Dual-buffer MSE: the prediction is a noisy MC estimate, so
+        # neither L1 (matches the estimator's MEDIAN — right-skewed
+        # specular noise under-fits brightness) nor naive MSE (the
+        # residual and the gradient path share samples; their
+        # covariance rewards variance REDUCTION, again biasing dark)
+        # is unbiased. Shading two INDEPENDENT half-spp buffers and
+        # cross-multiplying gives E[grad] = 2(E[pred]-gt)dE[pred]/dθ —
+        # the gradient of the true-mean MSE (Mitsuba-style inverse
+        # rendering practice; measured ~11%-low kd·L without it).
+        pred_a, mats = predict_with(layer_half, params, k_a, pts,
+                                    normals, view_dirs)
+        pred_b, _ = predict_with(layer_half, params, k_b, pts,
+                                 normals, view_dirs)
+        res_a = jax.lax.stop_gradient(pred_a) - gt
+        res_b = jax.lax.stop_gradient(pred_b) - gt
+        rgb_loss = (res_a * pred_b + res_b * pred_a).mean()
+        # material smoothness: the field should vary slower than shading
+        # (reference's normal-smoothness analog, applied to kd/roughness)
+        jit_pts = pts + tcfg.smooth_eps * jax.random.normal(
+            k_jit, pts.shape)
+        mats_j = material_net_apply(params["material"], mat_cfg, jit_pts)
+        smooth = (jnp.abs(mats["kd"] - mats_j["kd"]).mean()
+                  + jnp.abs(mats["rough"] - mats_j["rough"]).mean())
+        ks_reg = jnp.abs(mats["ks"] - tcfg.ks_prior).mean()
+        loss = (rgb_loss + tcfg.smooth_weight * smooth
+                + tcfg.ks_prior_weight * ks_reg)
+        pred_mean = 0.5 * (pred_a + pred_b)
+        mse = jnp.square(pred_mean - gt).mean()
+        return loss, {"loss": loss, "rgb_loss": mse,
+                      "smooth_loss": smooth,
+                      "psnr": psnr(pred_mean, gt)}
+
+    @jax.jit
+    def step(state, buffers, key):
+        k_idx, k_loss = jax.random.split(key)
+        n = buffers["points"].shape[0]
+        idx = jax.random.randint(k_idx, (tcfg.batch_size,), 0, n)
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in buffers.items()}
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, k_loss, batch["points"], batch["normals"],
+            batch["view_dirs"], batch["rgb"])
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state._replace(step=state.step + 1, params=params,
+                              opt_state=opt_state), metrics
+
+    return step, predict
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+
+class MaterialTrainer:
+    """Orchestrates the material stage on top of a reconstruction
+    checkpoint: emitter discovery, geometry bake, the jitted loop,
+    validation artifacts (kd / roughness / re-render maps) and orbax
+    checkpointing under `<exp_dir>/material/`."""
+
+    def __init__(self, conf, exp_dir: str, recon_params, model_cfg,
+                 data_root: str = "data", fused: bool | None = None,
+                 seed: int = 0):
+        self.conf = conf
+        self.exp_dir = exp_dir
+        self.recon_params = recon_params
+        self.model_cfg = model_cfg
+        self.tcfg = MaterialTrainConfig.from_cfgnode(
+            conf.get("material", {}) or {})
+        mat_node = conf.get("material", {}) or {}
+        self.mat_cfg = MaterialNetConfig.from_cfgnode(
+            mat_node.get("material_network", {}) or {})
+        self.key = jax.random.PRNGKey(seed)
+
+        dataset_conf = dict(conf.dataset)
+        scan_id = dataset_conf.pop("scan_id", 0)
+        dataset_conf.pop("downsample", None)
+        dataset_conf.pop("data_root", None)
+        data_dir = dataset_conf["data_dir"]
+
+        # HDR inputs if the scene ships them (emission lives in linear
+        # radiometric units; LDR still optimizes, in gamma space)
+        hdr_dir = os.path.join(data_root, data_dir, f"scan{scan_id}", "hdr")
+        is_hdr = os.path.isdir(hdr_dir)
+        self.data = MaterialData(
+            data_dir, scan_id=scan_id, data_root=data_root, is_hdr=is_hdr,
+            downsample_train=self.tcfg.downsample_train)
+
+        # emitters from the recon dataset's light masks + GT depth
+        # (brightest-pixel fallback inside find_emitters)
+        from ..eval.relight import find_emitters
+
+        rd = ReconData(scan_id=scan_id, data_root=data_root,
+                       use_depth=True, use_normal=False, use_bubble=False,
+                       use_lightmask=True,
+                       **{k: v for k, v in dataset_conf.items()
+                          if k in ("data_dir", "img_res")})
+        self.emitters = find_emitters(
+            rd, n_emitters=self.tcfg.n_emitters,
+            emitter_scale=self.tcfg.emitter_scale, key=self.key)
+        print(f"[material] {self.emitters.count} emitters at "
+              f"{np.round(np.asarray(self.emitters.centers), 3).tolist()}")
+
+        chunk = conf.train.get("split_n_pixels", 12000)
+        render_image, _ = make_eval_render_fn(model_cfg, chunk_size=chunk,
+                                              fused_sampler=fused)
+        self.buffers, self.per_image = bake_geometry(
+            recon_params, model_cfg, render_image, self.data,
+            min_weight_sum=self.tcfg.min_weight_sum)
+        print(f"[material] baked {int(self.buffers['points'].shape[0])} "
+              "surface samples")
+
+        self.key, k_init = jax.random.split(self.key)
+        params = {
+            "material": material_net_init(k_init, self.mat_cfg),
+            "emission": emission_init(self.emitters.radiance),
+        }
+        self.state, self.tx = create_train_state(
+            params, learning_rate=self.tcfg.learning_rate,
+            decay_rate=self.tcfg.decay_rate, decay_steps=self.tcfg.steps)
+
+        frozen = jax.lax.stop_gradient(recon_params["implicit"])
+        implicit_cfg = model_cfg.implicit
+
+        def sdf_fn(pts):
+            return mlp.sdf_vals(frozen, implicit_cfg, pts)[:, 0]
+
+        self.step_fn, self.predict_fn = make_material_train_step(
+            self.mat_cfg, self.tcfg, sdf_fn, self.emitters.centers,
+            self.emitters.radii, self.tx)
+        self.ckpt = CheckpointManager(
+            os.path.join(exp_dir, "material", "checkpoints", "orbax"))
+        self.plot_dir = os.path.join(exp_dir, "material", "plots")
+        os.makedirs(self.plot_dir, exist_ok=True)
+
+    # -- validation artifacts ------------------------------------------------
+
+    def render_material_maps(self, view: int = 0, chunk: int = 8192):
+        """Full-image kd / roughness / re-rendered maps for one view."""
+        g = self.per_image[view]
+        H, W = self.data.img_res
+        n = g["points"].shape[0]
+        kd = np.zeros((n, 3), np.float32)
+        rough = np.zeros((n,), np.float32)
+        render = np.zeros((n, 3), np.float32)
+
+        if not hasattr(self, "_eval_chunk"):
+            predict = self.predict_fn
+
+            @jax.jit
+            def eval_chunk(params, key, pts, normals, view_dirs):
+                pred, mats = predict(params, key, pts, normals, view_dirs)
+                return pred, mats["kd"], mats["rough"]
+
+            self._eval_chunk = eval_chunk
+        params = self.state.params
+
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            pad = chunk - (e - s)
+
+            def padded(a):
+                a = jnp.asarray(a[s:e], jnp.float32)
+                return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+
+            self.key, k = jax.random.split(self.key)
+            pred, kd_c, rough_c = self._eval_chunk(
+                params, k, padded(g["points"]), padded(g["normals"]),
+                padded(g["view_dirs"]))
+            render[s:e] = np.asarray(pred)[: e - s]
+            kd[s:e] = np.asarray(kd_c)[: e - s]
+            rough[s:e] = np.asarray(rough_c)[: e - s]
+        valid = g["valid"][:, None]
+        return {
+            "kd": (kd * valid).reshape(H, W, 3),
+            "rough": (rough * valid[:, 0]).reshape(H, W),
+            "render": (render * valid).reshape(H, W, 3),
+            "gt": np.asarray(self.data.rgb_images[view]).reshape(H, W, 3),
+            "valid": np.asarray(g["valid"]).reshape(H, W),
+        }
+
+    def _write_plots(self, step: int, view: int = 0):
+        maps = self.render_material_maps(view)
+        tag = f"{step:06d}_{view}"
+        artifacts.write_rgb(os.path.join(self.plot_dir, f"kd_{tag}.png"),
+                            np.clip(maps["kd"], 0, 1))
+        artifacts.write_colormap(
+            os.path.join(self.plot_dir, f"rough_{tag}.png"), maps["rough"])
+        pred = maps["render"]
+        gt = maps["gt"]
+        if self.data.is_hdr:
+            pred, gt = linear_to_srgb(pred), linear_to_srgb(gt)
+        artifacts.write_pred_gt_grid(
+            os.path.join(self.plot_dir, f"render_{tag}.png"),
+            np.clip(pred, 0, 1), np.clip(gt, 0, 1))
+        m = maps["valid"]
+        mse = float(np.mean((maps["render"] - maps["gt"])[m] ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        print(f"[material {step}] view {view} re-render PSNR {psnr:.2f}")
+        return psnr
+
+    # -- loop ----------------------------------------------------------------
+
+    def fit(self, max_steps: int | None = None, log_freq: int = 100):
+        steps = max_steps if max_steps is not None else self.tcfg.steps
+        t0 = time.time()
+        for i in range(steps):
+            self.key, k = jax.random.split(self.key)
+            self.state, metrics = self.step_fn(self.state, self.buffers, k)
+            step = int(self.state.step)
+            if step % log_freq == 0 or i == steps - 1:
+                m = {k_: float(v) for k_, v in metrics.items()}
+                rate = step / max(time.time() - t0, 1e-9)
+                print(f"[material {step}/{steps}] "
+                      f"loss={m['loss']:.4f} rgb={m['rgb_loss']:.4f} "
+                      f"psnr={m['psnr']:.2f} ({rate:.1f} steps/s)")
+            if self.tcfg.plot_freq and step % self.tcfg.plot_freq == 0:
+                self._write_plots(step)
+            if (self.tcfg.checkpoint_freq
+                    and step % self.tcfg.checkpoint_freq == 0):
+                self.ckpt.save(step, self.state)
+        self.ckpt.save(int(self.state.step), self.state)
+        emission = np.asarray(emission_apply(self.state.params["emission"]))
+        print(f"[material] done; learned emission = "
+              f"{np.round(emission, 4).tolist()}")
+        return self.state

@@ -1,0 +1,226 @@
+"""Material-optimization stage (models/material.py + train/material.py):
+the trainable intrinsic-decomposition branch the reference scaffolds but
+never released (`/root/reference/README.md:77-79`)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from i2sdf_tpu.config import CfgNode
+from i2sdf_tpu.data import generate_synthetic_scene
+from i2sdf_tpu.models import renderer
+from i2sdf_tpu.models.material import (MaterialNetConfig, emission_apply,
+                                       emission_init, material_net_apply,
+                                       material_net_init)
+from i2sdf_tpu.models.rendering_layer import RenderingLayerConfig, shade
+from i2sdf_tpu.train.material import (MaterialTrainConfig, MaterialTrainer,
+                                      make_material_train_step)
+from i2sdf_tpu.train.state import create_train_state
+
+
+def empty_sdf(p):
+    """Nothing to occlude: visibility is always 1."""
+    return jnp.full(p.shape[:1], 10.0)
+
+
+def test_material_net_shapes_and_ranges():
+    cfg = MaterialNetConfig(dims=(32, 32), multires=2)
+    params = material_net_init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (17, 3))
+    out = material_net_apply(params, cfg, x)
+    assert out["kd"].shape == (17, 3)
+    assert out["ks"].shape == (17, 3)
+    assert out["rough"].shape == (17,)
+    assert float(out["kd"].min()) >= 0.0 and float(out["kd"].max()) <= 1.0
+    assert float(out["rough"].min()) >= cfg.min_roughness
+    assert float(out["rough"].max()) <= 1.0
+
+
+def test_emission_log_parameterization():
+    rad = jnp.asarray([[2.0, 0.5, 0.001]])
+    p = emission_init(rad)
+    np.testing.assert_allclose(np.asarray(emission_apply(p)),
+                               [[2.0, 0.5, 0.001]], rtol=1e-5)
+    # positivity even after a large negative update
+    p2 = {"log_radiance": p["log_radiance"] - 10.0}
+    assert float(emission_apply(p2).min()) > 0.0
+
+
+def test_detach_sampling_keeps_grads_finite():
+    """With detach_sampling the material gradient flows only through
+    the BRDF value, not the 1/pdf weights (grazing-sample blowups)."""
+    cfg = RenderingLayerConfig(spp=4, detach_sampling=True)
+    n = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (8, 1))
+    v = n
+    pts = jnp.zeros((8, 3))
+
+    def li(p, d):
+        return jnp.ones_like(p)
+
+    def loss(kd, ks, rough):
+        out = shade(cfg, jax.random.PRNGKey(0), pts, n, v, kd, ks, rough,
+                    li)
+        return (out["color_diffuse"] + out["color_specular"]).sum()
+
+    kd = jnp.full((8, 3), 0.5)
+    ks = jnp.full((8, 3), 0.04)
+    rough = jnp.full((8,), 0.05)  # near-specular: worst case for 1/pdf
+    grads = jax.grad(loss, argnums=(0, 1, 2))(kd, ks, rough)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.slow
+def test_train_step_recovers_material_product():
+    """End-to-end gradient check on analytic geometry: points on a
+    plane lit by one sphere emitter, GT rendered with known kd — after
+    optimization the re-render matches and the kd*emission product is
+    recovered (kd and emission individually have a scale ambiguity)."""
+    key = jax.random.PRNGKey(0)
+    # each surface point observed from several view directions (as in
+    # real multi-view training) — one observation per point would leave
+    # diffuse kd vs specular ks fundamentally unidentifiable
+    n_base, n_views = 128, 4
+    n_pts = n_base * n_views
+    k1, k2, key = jax.random.split(key, 3)
+    xy = jax.random.uniform(k1, (n_base, 2), minval=-1.0, maxval=1.0)
+    base = jnp.concatenate([xy, jnp.zeros((n_base, 1))], -1)  # z=0 plane
+    pts = jnp.repeat(base, n_views, axis=0)
+    normals = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n_pts, 1))
+    view = jax.random.normal(k2, (n_pts, 3))
+    view = view.at[:, 2].set(jnp.abs(view[:, 2]) + 0.4)  # up-hemisphere
+    view = view / jnp.linalg.norm(view, axis=-1, keepdims=True)
+
+    # a large nearby emitter (sin^2(half-angle) ~ 0.64 of the cosine-
+    # weighted hemisphere) keeps the MC gradient signal-dominated
+    centers = jnp.asarray([[0.0, 0.0, 1.5]])
+    radii = jnp.asarray([1.2])
+    true_rad = jnp.asarray([[2.0, 2.0, 2.0]])
+    true_kd = jnp.asarray([0.6, 0.3, 0.2])
+
+    from i2sdf_tpu.eval.relight import incident_radiance
+
+    def li(p, d):
+        return incident_radiance(empty_sdf, centers, radii, true_rad,
+                                 p, d, n_steps=4)
+
+    gt_cfg = RenderingLayerConfig(spp=256)
+    kd_gt = jnp.tile(true_kd[None], (n_pts, 1))
+    ks_gt = jnp.full((n_pts, 3), 0.04)
+    rough_gt = jnp.full((n_pts,), 0.7)
+    out = shade(gt_cfg, jax.random.PRNGKey(42), pts, normals, view,
+                kd_gt, ks_gt, rough_gt, li)
+    gt = out["color_diffuse"] + out["color_specular"]
+
+    mat_cfg = MaterialNetConfig(dims=(32, 32), multires=2)
+    tcfg = MaterialTrainConfig(batch_size=256, spp=16, vis_steps=4,
+                               smooth_weight=1e-3, learning_rate=1e-2,
+                               steps=500, ks_prior_weight=0.05)
+    params = {
+        "material": material_net_init(jax.random.PRNGKey(7), mat_cfg),
+        "emission": emission_init(true_rad),
+    }
+    state, tx = create_train_state(params, learning_rate=tcfg.learning_rate,
+                                   decay_steps=tcfg.steps)
+    step, predict = make_material_train_step(mat_cfg, tcfg, empty_sdf,
+                                             centers, radii, tx)
+    buffers = {"points": pts, "normals": normals, "view_dirs": view,
+               "rgb": gt}
+    first = None
+    for i in range(tcfg.steps):
+        key, k = jax.random.split(key)
+        state, metrics = step(state, buffers, k)
+        if first is None:
+            first = float(metrics["rgb_loss"])
+    final = float(metrics["rgb_loss"])
+    assert final < 0.2 * first, (first, final)
+
+    # the learned field times learned emission must reproduce the true
+    # product (per-channel), even if each factor drifts individually
+    mats = material_net_apply(state.params["material"], mat_cfg, base)
+    learned_rad = emission_apply(state.params["emission"])[0]
+    prod = np.asarray(mats["kd"]).mean(0) * np.asarray(learned_rad)
+    true_prod = np.asarray(true_kd) * np.asarray(true_rad[0])
+    np.testing.assert_allclose(prod, true_prod, rtol=0.2)
+    # the dielectric prior must pull ks back to the true 0.04 (without
+    # it the optimizer parks diffuse energy in a rough specular lobe)
+    np.testing.assert_allclose(np.asarray(mats["ks"]).mean(0), 0.04,
+                               atol=0.05)
+
+    # re-render PSNR against GT, averaged over fresh keys (a single
+    # spp=16 estimate sits at the MC noise floor ~19 dB)
+    preds = []
+    for _ in range(4):
+        key, k = jax.random.split(key)
+        preds.append(predict(state.params, k, pts, normals, view)[0])
+    pred = jnp.stack(preds).mean(0)
+    mse = float(jnp.mean((pred - gt) ** 2))
+    assert -10.0 * np.log10(max(mse, 1e-12)) > 22.0, mse
+
+
+TINY_MODEL = {
+    "feature_vector_size": 32,
+    "scene_bounding_sphere": 4.0,
+    "implicit_network": {
+        "d_in": 3, "d_out": 1, "dims": [32, 32, 32, 32],
+        "geometric_init": True, "bias": 0.6, "skip_in": [2],
+        "weight_norm": True, "embed_type": "positional", "multires": 4,
+    },
+    "rendering_network": {
+        "mode": "nerf", "d_in": 3, "d_out": 3, "dims": [32, 32],
+        "weight_norm": True, "embed_type": "positional", "multires": 2,
+    },
+    "density": {"params_init": {"beta": 0.1}, "beta_min": 1e-4},
+    "ray_sampler": {
+        "near": 0.0, "N_samples": 12, "N_samples_eval": 24,
+        "N_samples_extra": 6, "eps": 0.1, "beta_iters": 4,
+        "max_total_iters": 2,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = tmp_path_factory.mktemp("material_scene")
+    generate_synthetic_scene(str(root / "demo"), n_images=3,
+                             img_res=(20, 24))
+    return str(root)
+
+
+@pytest.mark.slow
+def test_material_trainer_end_to_end(scene, tmp_path):
+    conf = CfgNode({
+        "train": {"split_n_pixels": 512},
+        "dataset": {"data_dir": "demo", "img_res": [20, 24],
+                    "downsample": 1},
+        "model": dict(TINY_MODEL),
+        "material": {
+            "steps": 6, "batch_size": 64, "spp": 2, "vis_steps": 4,
+            "n_emitters": 1, "plot_freq": 5, "checkpoint_freq": 5,
+            "min_weight_sum": 0.05,
+            "material_network": {"dims": [16, 16], "multires": 2},
+        },
+    })
+    model_node = conf.model
+    model_node.use_normal = False
+    cfg = renderer.I2SDFConfig.from_cfgnode(model_node)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+
+    mt = MaterialTrainer(conf, str(tmp_path), recon_params=params,
+                         model_cfg=cfg, data_root=scene, fused=False)
+    assert mt.emitters.count == 1
+    assert int(mt.buffers["points"].shape[0]) > 0
+    state = mt.fit(max_steps=6)
+    assert int(state.step) == 6
+
+    plots = os.listdir(mt.plot_dir)
+    assert any(f.startswith("kd_") for f in plots)
+    assert any(f.startswith("rough_") for f in plots)
+    assert any(f.startswith("render_") for f in plots)
+    assert mt.ckpt.latest_step() == 6
+    # the emission parameters must be finite and positive after training
+    emission = np.asarray(emission_apply(state.params["emission"]))
+    assert np.isfinite(emission).all() and (emission > 0).all()
