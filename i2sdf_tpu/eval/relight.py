@@ -189,22 +189,35 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
                 n_emitters: int = 1, emitter_scale: float = 1.0,
                 edit_conf: dict | None = None, fused: bool | None = None,
                 full_res: bool = False, chunk: int = 4096,
-                vis_steps: int = 32, seed: int = 0) -> dict:
+                vis_steps: int = 32, seed: int = 0,
+                material=None) -> dict:
     """Render relit images for every (or `indices`) viewpoint. Writes
     `eval/relight/{tag}_relit.png|_diffuse.png|_specular.png` and
-    returns the emitter summary."""
+    returns the emitter summary.
+
+    `material` (optional): a `(mat_params, MaterialNetConfig, Emitters)`
+    triple from `train.material.load_material_stage` — kd/ks/roughness
+    come from the LEARNED field and emitters carry the LEARNED emission,
+    instead of the heuristic defaults (kd = rendered color, dielectric
+    ks). This is the full recon -> material -> edit pipeline."""
     dataset_conf = dict(conf.dataset)
     scan_id = dataset_conf.pop("scan_id", 0)
     ds = dataset_conf.pop("downsample", 1)  # always pop: also passed
     downsample = 1 if full_res else ds      # explicitly below
     dataset_conf.pop("data_root", None)
 
-    rd = ReconData(scan_id=scan_id, data_root=data_root, use_depth=True,
-                   use_normal=False, use_bubble=False, use_lightmask=True,
-                   **{k: v for k, v in dataset_conf.items()
-                      if k in ("data_dir", "img_res")})
-    emitters = find_emitters(rd, n_emitters=n_emitters,
-                             emitter_scale=emitter_scale)
+    if material is not None:
+        mat_params, mat_cfg, emitters = material
+        print(f"[relight] using trained material stage; {emitters.count} "
+              "emitters with learned emission")
+    else:
+        rd = ReconData(scan_id=scan_id, data_root=data_root,
+                       use_depth=True, use_normal=False, use_bubble=False,
+                       use_lightmask=True,
+                       **{k: v for k, v in dataset_conf.items()
+                          if k in ("data_dir", "img_res")})
+        emitters = find_emitters(rd, n_emitters=n_emitters,
+                                 emitter_scale=emitter_scale)
     print(f"[relight] {emitters.count} emitters; centers="
           f"{np.round(np.asarray(emitters.centers), 3).tolist()}")
 
@@ -248,9 +261,19 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
         view_dirs = -units  # toward the camera
         normals = out["normal_map"].reshape(-1, 3)
 
-        kd = np.clip(np.asarray(out["rgb_values"]).reshape(-1, 3), 0, 1)
-        ks = np.full_like(kd, 0.04)
-        rough = np.full(kd.shape[0], 0.5, np.float32)
+        if material is not None:
+            from ..models.material import material_net_apply
+
+            mats = material_net_apply(mat_params["material"], mat_cfg,
+                                      jnp.asarray(pts))
+            kd = np.asarray(mats["kd"])
+            ks = np.asarray(mats["ks"])
+            rough = np.asarray(mats["rough"]).astype(np.float32)
+        else:
+            kd = np.clip(np.asarray(out["rgb_values"]).reshape(-1, 3),
+                         0, 1)
+            ks = np.full_like(kd, 0.04)
+            rough = np.full(kd.shape[0], 0.5, np.float32)
         nrm = np.asarray(normals)
         mats = pd.edited_materials(kd, ks, rough[:, None], nrm)
         kd, ks = mats["kd"], mats["ks"]

@@ -69,6 +69,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "decomposition) on top of this experiment's "
                         "reconstruction checkpoint; config via the "
                         "optional `material:` YAML section")
+    p.add_argument("--use_material", action="store_true",
+                   help="relight with this experiment's TRAINED material "
+                        "stage (kd/ks/roughness field + learned emission) "
+                        "instead of heuristic defaults")
     p.add_argument("--device_ids", type=int, nargs="*", default=None,
                    help="accepted for reference-CLI parity; device choice "
                         "is jax.devices() on TPU")
@@ -205,12 +209,18 @@ def main(argv=None) -> int:
 
             with open(args.edit_conf) as f:
                 edit_conf = yaml.safe_load(f)
+        material = None
+        if args.use_material:
+            from .train.material import load_material_stage
+
+            material = load_material_stage(exp_dir, conf)
         run_relight(params, model_cfg, conf, exp_dir,
                     data_root=args.data_root, indices=args.indices,
                     spp=args.spp, n_emitters=args.n_emitters,
                     emitter_scale=args.emitter_scale,
                     edit_conf=edit_conf, fused=fused,
-                    full_res=args.full_res, seed=args.seed)
+                    full_res=args.full_res, seed=args.seed,
+                    material=material)
     return 0
 
 

@@ -148,6 +148,37 @@ def bake_geometry(params, model_cfg, render_image, data: MaterialData,
     return train, per_image
 
 
+def load_material_stage(exp_dir: str, conf, step: int | None = None):
+    """Restore a trained material stage for downstream consumers
+    (relight `--use_material`). Returns (params, MaterialNetConfig,
+    Emitters carrying the LEARNED emission)."""
+    mat_node = conf.get("material", {}) or {}
+    mat_cfg = MaterialNetConfig.from_cfgnode(
+        mat_node.get("material_network", {}) or {})
+    em_path = os.path.join(exp_dir, "material", "emitters.npz")
+    if not os.path.exists(em_path):
+        raise FileNotFoundError(
+            f"no trained material stage under {exp_dir} "
+            "(run --material first)")
+    em = np.load(em_path)
+    template = {
+        "material": material_net_init(jax.random.PRNGKey(0), mat_cfg),
+        "emission": emission_init(em["init_radiance"]),
+    }
+    state, _ = create_train_state(template)
+    ckpt = CheckpointManager(
+        os.path.join(exp_dir, "material", "checkpoints", "orbax"))
+    state, _ = ckpt.restore(state, step=step)
+    from ..eval.relight import Emitters
+
+    emitters = Emitters(em["centers"], em["radii"],
+                        emission_apply(state.params["emission"]))
+    print(f"[material] restored material stage @{int(state.step)}; "
+          f"learned emission = "
+          f"{np.round(np.asarray(emitters.radiance), 4).tolist()}")
+    return state.params, mat_cfg, emitters
+
+
 # ---------------------------------------------------------------------------
 # Train step
 # ---------------------------------------------------------------------------
@@ -327,6 +358,12 @@ class MaterialTrainer:
             os.path.join(exp_dir, "material", "checkpoints", "orbax"))
         self.plot_dir = os.path.join(exp_dir, "material", "plots")
         os.makedirs(self.plot_dir, exist_ok=True)
+        # persist the emitter set: relight --use_material must shade with
+        # the SAME emitters the emission parameters were trained against
+        np.savez(os.path.join(exp_dir, "material", "emitters.npz"),
+                 centers=np.asarray(self.emitters.centers),
+                 radii=np.asarray(self.emitters.radii),
+                 init_radiance=np.asarray(self.emitters.radiance))
 
     # -- validation artifacts ------------------------------------------------
 

@@ -224,3 +224,17 @@ def test_material_trainer_end_to_end(scene, tmp_path):
     # the emission parameters must be finite and positive after training
     emission = np.asarray(emission_apply(state.params["emission"]))
     assert np.isfinite(emission).all() and (emission > 0).all()
+
+    # restore the stage and drive relight off the LEARNED materials —
+    # the full recon -> material -> edit pipeline
+    from i2sdf_tpu.eval.relight import run_relight
+    from i2sdf_tpu.train.material import load_material_stage
+
+    material = load_material_stage(str(tmp_path), conf)
+    assert material[2].count == 1
+    res = run_relight(params, cfg, conf, str(tmp_path), data_root=scene,
+                      indices=[0], spp=2, chunk=256, vis_steps=4,
+                      fused=False, material=material)
+    assert res["emitters"] == 1
+    out = os.path.join(str(tmp_path), "eval", "relight")
+    assert os.path.exists(os.path.join(out, "0000_relit.png"))
