@@ -186,12 +186,15 @@ def load_material_stage(exp_dir: str, conf, step: int | None = None):
 
 def make_material_train_step(mat_cfg: MaterialNetConfig,
                              tcfg: MaterialTrainConfig,
-                             sdf_fn, centers, radii, tx):
+                             sdf_fn, centers, radii, tx, mesh=None):
     """One jitted optimization step over the baked geometry buffers.
 
     `sdf_fn(pts) -> (N,)` is the FROZEN scene SDF used for emitter
     visibility (the trainer closes it over the reconstruction
-    checkpoint; tests inject analytic SDFs)."""
+    checkpoint; tests inject analytic SDFs). With `mesh`, the gathered
+    shading batch is sharded over the mesh's 'data' axis (params
+    replicated, gradients psum'd over ICI) — same DP convention as the
+    reconstruction step (SURVEY §2c)."""
     from ..eval.relight import incident_radiance
 
     layer_cfg = RenderingLayerConfig(spp=tcfg.spp,
@@ -261,6 +264,13 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
         n = buffers["points"].shape[0]
         idx = jax.random.randint(k_idx, (tcfg.batch_size,), 0, n)
         batch = {k: jnp.take(v, idx, axis=0) for k, v in buffers.items()}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(mesh, P("data"))
+            batch = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, shard),
+                batch)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, k_loss, batch["points"], batch["normals"],
             batch["view_dirs"], batch["rgb"])
@@ -341,6 +351,19 @@ class MaterialTrainer:
             "material": material_net_init(k_init, self.mat_cfg),
             "emission": emission_init(self.emitters.radiance),
         }
+
+        # multi-chip DP by default, mirroring the reconstruction trainer
+        self.mesh = None
+        n_dev = jax.device_count()
+        if n_dev > 1 and self.tcfg.batch_size % n_dev == 0:
+            from ..parallel import make_mesh, replicate_params
+
+            self.mesh = make_mesh()
+            params = replicate_params(self.mesh, params)
+            self.buffers = replicate_params(self.mesh, self.buffers)
+            print(f"[material] data-parallel over {n_dev} "
+                  f"{jax.devices()[0].platform} devices")
+
         self.state, self.tx = create_train_state(
             params, learning_rate=self.tcfg.learning_rate,
             decay_rate=self.tcfg.decay_rate, decay_steps=self.tcfg.steps)
@@ -353,11 +376,17 @@ class MaterialTrainer:
 
         self.step_fn, self.predict_fn = make_material_train_step(
             self.mat_cfg, self.tcfg, sdf_fn, self.emitters.centers,
-            self.emitters.radii, self.tx)
+            self.emitters.radii, self.tx, mesh=self.mesh)
         self.ckpt = CheckpointManager(
             os.path.join(exp_dir, "material", "checkpoints", "orbax"))
         self.plot_dir = os.path.join(exp_dir, "material", "plots")
         os.makedirs(self.plot_dir, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.tb = SummaryWriter(os.path.join(exp_dir, "tb_material"))
+        except Exception:
+            self.tb = None
         # persist the emitter set: relight --use_material must shade with
         # the SAME emitters the emission parameters were trained against
         np.savez(os.path.join(exp_dir, "material", "emitters.npz"),
@@ -446,8 +475,14 @@ class MaterialTrainer:
                 print(f"[material {step}/{steps}] "
                       f"loss={m['loss']:.4f} rgb={m['rgb_loss']:.4f} "
                       f"psnr={m['psnr']:.2f} ({rate:.1f} steps/s)")
+                if self.tb is not None:
+                    for name, v in m.items():
+                        self.tb.add_scalar(f"material/{name}", v, step)
             if self.tcfg.plot_freq and step % self.tcfg.plot_freq == 0:
-                self._write_plots(step)
+                val_psnr = self._write_plots(step)
+                if self.tb is not None:
+                    self.tb.add_scalar("material/val_psnr", val_psnr,
+                                       step)
             if (self.tcfg.checkpoint_freq
                     and step % self.tcfg.checkpoint_freq == 0):
                 self.ckpt.save(step, self.state)

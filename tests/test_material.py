@@ -161,6 +161,60 @@ def test_train_step_recovers_material_product():
     assert -10.0 * np.log10(max(mse, 1e-12)) > 22.0, mse
 
 
+@pytest.mark.multidevice
+def test_material_step_dp_equivalence():
+    """The sharded material step (batch over the 8-device 'data' axis)
+    must match the unsharded step numerically — same DP guarantee the
+    reconstruction step has (tests/test_parallel.py)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    from i2sdf_tpu.parallel import make_mesh, replicate_params
+
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, key = jax.random.split(key, 4)
+    n = 512
+    pts = jax.random.uniform(k1, (n, 3), minval=-1.0, maxval=1.0)
+    normals = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    view = jax.random.normal(k2, (n, 3))
+    view = view.at[:, 2].set(jnp.abs(view[:, 2]) + 0.4)
+    view = view / jnp.linalg.norm(view, axis=-1, keepdims=True)
+    gt = jax.random.uniform(k3, (n, 3))
+    buffers = {"points": pts, "normals": normals, "view_dirs": view,
+               "rgb": gt}
+    centers = jnp.asarray([[0.0, 0.0, 2.0]])
+    radii = jnp.asarray([1.0])
+
+    mat_cfg = MaterialNetConfig(dims=(16, 16), multires=2)
+    tcfg = MaterialTrainConfig(batch_size=64, spp=2, vis_steps=4)
+    params0 = {
+        "material": material_net_init(jax.random.PRNGKey(7), mat_cfg),
+        "emission": emission_init(jnp.ones((1, 3))),
+    }
+
+    results = []
+    for mesh in (None, make_mesh(8)):
+        params = (params0 if mesh is None
+                  else replicate_params(mesh, params0))
+        bufs = (buffers if mesh is None
+                else replicate_params(mesh, buffers))
+        state, tx = create_train_state(params, learning_rate=1e-3,
+                                       decay_steps=100)
+        step, _ = make_material_train_step(mat_cfg, tcfg, empty_sdf,
+                                           centers, radii, tx, mesh=mesh)
+        k = jax.random.PRNGKey(11)
+        for _ in range(3):
+            k, ks = jax.random.split(k)
+            state, metrics = step(state, bufs, ks)
+        results.append((jax.tree.map(np.asarray, state.params),
+                        float(metrics["loss"])))
+
+    (p_single, l_single), (p_mesh, l_mesh) = results
+    assert abs(l_single - l_mesh) < 1e-5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-6),
+        p_single, p_mesh)
+
+
 TINY_MODEL = {
     "feature_vector_size": 32,
     "scene_bounding_sphere": 4.0,
