@@ -176,6 +176,8 @@ def main(argv=None) -> int:
         mt = MaterialTrainer(conf, exp_dir, recon_params=params,
                              model_cfg=model_cfg, data_root=args.data_root,
                              fused=fused, seed=args.seed)
+        if args.resume:
+            mt.resume()
         mt.fit(max_steps=args.max_steps)
         return 0
 

@@ -21,10 +21,11 @@ TPU-first design:
   event (`model/trainer/recon.py:172-199`), reused for a new purpose.
 - The train step is one jitted program: on-device batch gather from the
   baked buffers, material MLP, spp-vmapped MC shading with sphere-traced
-  emitter visibility (fixed-iteration `fori_loop`), L1 + smoothness
-  losses, Adam. Sampling is detached (`RenderingLayerConfig.
-  detach_sampling`) so material gradients flow through the BRDF value
-  and emission only — the standard stable inverse-rendering estimator.
+  emitter visibility (fixed-iteration `fori_loop`), the dual-buffer
+  sample-split MSE (see loss_fn) + smoothness + ks-prior losses, Adam.
+  Sampling is detached (`RenderingLayerConfig.detach_sampling`) so
+  material gradients flow through the BRDF value and emission only —
+  the standard stable inverse-rendering estimator.
 """
 
 from __future__ import annotations
@@ -91,7 +92,7 @@ class MaterialTrainConfig:
 # ---------------------------------------------------------------------------
 
 
-def bake_image_geometry(params, model_cfg, render_image, uv, K, pose,
+def bake_image_geometry(params, render_image, uv, K, pose,
                         min_weight_sum: float = 0.5):
     """One image's per-pixel surface geometry from the frozen model.
 
@@ -119,7 +120,7 @@ def bake_image_geometry(params, model_cfg, render_image, uv, K, pose,
             "valid": valid}
 
 
-def bake_geometry(params, model_cfg, render_image, data: MaterialData,
+def bake_geometry(params, render_image, data: MaterialData,
                   min_weight_sum: float = 0.5, log=print):
     """Bake every training image; returns flat valid-only device arrays
     (points, normals, view_dirs, rgb) plus the per-image raw buffers for
@@ -127,7 +128,7 @@ def bake_geometry(params, model_cfg, render_image, data: MaterialData,
     per_image = []
     flat = {k: [] for k in ("points", "normals", "view_dirs", "rgb")}
     for i in range(data.n_images):
-        g = bake_image_geometry(params, model_cfg, render_image, data.uv,
+        g = bake_image_geometry(params, render_image, data.uv,
                                 data.intrinsics_all[i], data.pose_all[i],
                                 min_weight_sum=min_weight_sum)
         g = {k: np.asarray(v) for k, v in g.items()}
@@ -307,6 +308,7 @@ class MaterialTrainer:
         self.mat_cfg = MaterialNetConfig.from_cfgnode(
             mat_node.get("material_network", {}) or {})
         self.key = jax.random.PRNGKey(seed)
+        self.loop_key = jax.random.PRNGKey(seed + 1)  # train-step stream
 
         dataset_conf = dict(conf.dataset)
         scan_id = dataset_conf.pop("scan_id", 0)
@@ -341,7 +343,7 @@ class MaterialTrainer:
         render_image, _ = make_eval_render_fn(model_cfg, chunk_size=chunk,
                                               fused_sampler=fused)
         self.buffers, self.per_image = bake_geometry(
-            recon_params, model_cfg, render_image, self.data,
+            recon_params, render_image, self.data,
             min_weight_sum=self.tcfg.min_weight_sum)
         print(f"[material] baked {int(self.buffers['points'].shape[0])} "
               "surface samples")
@@ -368,11 +370,20 @@ class MaterialTrainer:
             params, learning_rate=self.tcfg.learning_rate,
             decay_rate=self.tcfg.decay_rate, decay_steps=self.tcfg.steps)
 
+        # visibility tracing evaluates the frozen SDF spp*vis_steps times
+        # per batch point — on TPU it rides the fused Pallas MLP kernel
+        # (same fast path the sampler and mesher use); CPU keeps XLA
         frozen = jax.lax.stop_gradient(recon_params["implicit"])
         implicit_cfg = model_cfg.implicit
+        use_fused = (fused if fused is not None
+                     else jax.default_backend() not in ("cpu",))
+        if use_fused:
+            from ..ops.pallas.fused_mlp import fused_sdf_fn
 
-        def sdf_fn(pts):
-            return mlp.sdf_vals(frozen, implicit_cfg, pts)[:, 0]
+            sdf_fn = fused_sdf_fn(recon_params["implicit"], implicit_cfg)
+        else:
+            def sdf_fn(pts):
+                return mlp.sdf_vals(frozen, implicit_cfg, pts)[:, 0]
 
         self.step_fn, self.predict_fn = make_material_train_step(
             self.mat_cfg, self.tcfg, sdf_fn, self.emitters.centers,
@@ -456,22 +467,42 @@ class MaterialTrainer:
             np.clip(pred, 0, 1), np.clip(gt, 0, 1))
         m = maps["valid"]
         mse = float(np.mean((maps["render"] - maps["gt"])[m] ** 2))
-        psnr = -10.0 * np.log10(max(mse, 1e-12))
-        print(f"[material {step}] view {view} re-render PSNR {psnr:.2f}")
-        return psnr
+        val_psnr = -10.0 * np.log10(max(mse, 1e-12))
+        print(f"[material {step}] view {view} re-render PSNR "
+              f"{val_psnr:.2f}")
+        return val_psnr
 
     # -- loop ----------------------------------------------------------------
 
+    def resume(self) -> int:
+        """Restore the latest material checkpoint; returns its step."""
+        self.state, _ = self.ckpt.restore(self.state)
+        if self.mesh is not None:
+            from ..parallel import replicate_params
+
+            # restored arrays land on one device; re-replicate for DP
+            self.state = replicate_params(self.mesh, self.state)
+        start = int(self.state.step)
+        print(f"[material] resumed from step {start}")
+        return start
+
     def fit(self, max_steps: int | None = None, log_freq: int = 100):
+        """Run until global step `max_steps` (or the configured total)."""
         steps = max_steps if max_steps is not None else self.tcfg.steps
         t0 = time.time()
-        for i in range(steps):
-            self.key, k = jax.random.split(self.key)
+        start = int(self.state.step)
+        n_iter = max(steps - start, 0)
+        for i in range(n_iter):
+            # per-step keys are folded from (base, step), so a resumed
+            # run replays the exact key an uninterrupted run would have
+            # used — bit-deterministic resume (same scheme as the
+            # reconstruction trainer)
+            k = jax.random.fold_in(self.loop_key, start + i)
             self.state, metrics = self.step_fn(self.state, self.buffers, k)
             step = int(self.state.step)
-            if step % log_freq == 0 or i == steps - 1:
+            if step % log_freq == 0 or i == n_iter - 1:
                 m = {k_: float(v) for k_, v in metrics.items()}
-                rate = step / max(time.time() - t0, 1e-9)
+                rate = (step - start) / max(time.time() - t0, 1e-9)
                 print(f"[material {step}/{steps}] "
                       f"loss={m['loss']:.4f} rgb={m['rgb_loss']:.4f} "
                       f"psnr={m['psnr']:.2f} ({rate:.1f} steps/s)")

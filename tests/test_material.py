@@ -292,3 +292,11 @@ def test_material_trainer_end_to_end(scene, tmp_path):
     assert res["emitters"] == 1
     out = os.path.join(str(tmp_path), "eval", "relight")
     assert os.path.exists(os.path.join(out, "0000_relit.png"))
+
+    # resume: a fresh trainer restores step 6 and continues to a global
+    # target of 8 (fit treats max_steps as the global step target)
+    mt2 = MaterialTrainer(conf, str(tmp_path), recon_params=params,
+                          model_cfg=cfg, data_root=scene, fused=False)
+    assert mt2.resume() == 6
+    state2 = mt2.fit(max_steps=8)
+    assert int(state2.step) == 8
