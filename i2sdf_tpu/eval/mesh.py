@@ -190,9 +190,13 @@ def evaluate(verts_pred, verts_gt, threshold: float = 0.05,
 def run_mesh_eval(params, model_cfg, conf, exp_dir: str,
                   data_root: str = "data", resolution: int = 512,
                   score: bool = False, far_clip: float = 5.0,
-                  fused: bool | None = None) -> str | None:
+                  fused: bool | None = None, material=None) -> str | None:
     """Full `--test_mode mesh` flow incl. optional scoring; returns the
-    PLY path (parity recon.py:92-129)."""
+    PLY path (parity recon.py:92-129).
+
+    `material`: optional (params, MaterialNetConfig, Emitters) triple
+    from `train.material.load_material_stage` — bakes the learned albedo
+    as per-vertex colors into the exported PLY (beyond the reference)."""
     scan_id = conf.dataset.get("scan_id", 0)
     instance_dir = os.path.join(data_root, conf.dataset.data_dir,
                                 f"scan{scan_id}")
@@ -207,10 +211,29 @@ def run_mesh_eval(params, model_cfg, conf, exp_dir: str,
         print("[WARN] SDF has no zero crossing; no mesh extracted")
         return None
     verts, tris = result
+    colors = None
+    if material is not None:
+        # the material field lives in NORMALIZED scene coordinates —
+        # undo the scale_mat the mesher applied before evaluating kd
+        import jax.numpy as jnp
+
+        from ..models.material import material_net_apply
+
+        mat_params, mat_cfg, _ = material
+        inv = np.linalg.inv(np.asarray(scale_mat, np.float64))
+        vn = (verts @ inv[:3, :3].T + inv[:3, 3]).astype(np.float32)
+        kds = []
+        for s in range(0, len(vn), 262_144):
+            kds.append(np.asarray(material_net_apply(
+                mat_params["material"], mat_cfg,
+                jnp.asarray(vn[s:s + 262_144]))["kd"]))
+        colors = np.concatenate(kds)
+        print("[INFO] baked learned albedo onto "
+              f"{len(colors)} mesh vertices")
     mesh_dir = os.path.join(exp_dir, "eval", "mesh")
     os.makedirs(mesh_dir, exist_ok=True)
     ply_path = os.path.join(mesh_dir, f"scan{scan_id}.ply")
-    mesh_io.write_ply(ply_path, verts, tris)
+    mesh_io.write_ply(ply_path, verts, tris, colors=colors)
     print(f"[INFO] mesh saved to {ply_path} "
           f"({len(verts)} verts, {len(tris)} tris)")
 

@@ -70,9 +70,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "reconstruction checkpoint; config via the "
                         "optional `material:` YAML section")
     p.add_argument("--use_material", action="store_true",
-                   help="relight with this experiment's TRAINED material "
-                        "stage (kd/ks/roughness field + learned emission) "
-                        "instead of heuristic defaults")
+                   help="use this experiment's TRAINED material stage: "
+                        "relight shades with the learned kd/ks/roughness "
+                        "field + learned emission; mesh bakes the learned "
+                        "albedo as per-vertex PLY colors")
     p.add_argument("--device_ids", type=int, nargs="*", default=None,
                    help="accepted for reference-CLI parity; device choice "
                         "is jax.devices() on TPU")
@@ -191,9 +192,15 @@ def main(argv=None) -> int:
     elif args.test_mode == "mesh":
         from .eval.mesh import run_mesh_eval
 
+        material = None
+        if args.use_material:
+            from .train.material import load_material_stage
+
+            material = load_material_stage(exp_dir, conf)
         run_mesh_eval(params, model_cfg, conf, exp_dir,
                       data_root=args.data_root, resolution=args.resolution,
-                      score=args.score, far_clip=args.far_clip, fused=fused)
+                      score=args.score, far_clip=args.far_clip, fused=fused,
+                      material=material)
     elif args.test_mode == "interpolate":
         from .eval.interpolate import run_interpolation
 

@@ -248,6 +248,7 @@ def scene(tmp_path_factory):
 def test_material_trainer_end_to_end(scene, tmp_path):
     conf = CfgNode({
         "train": {"split_n_pixels": 512},
+        "plot": {"plot_nimgs": 1, "grid_boundary": [-2.2, 2.2]},
         "dataset": {"data_dir": "demo", "img_res": [20, 24],
                     "downsample": 1},
         "model": dict(TINY_MODEL),
@@ -300,3 +301,34 @@ def test_material_trainer_end_to_end(scene, tmp_path):
     assert mt2.resume() == 6
     state2 = mt2.fit(max_steps=8)
     assert int(state2.step) == 8
+
+    # mesh export with the learned albedo baked as vertex colors
+    from i2sdf_tpu.eval.mesh import run_mesh_eval
+
+    ply = run_mesh_eval(params, cfg, conf, str(tmp_path),
+                        data_root=scene, resolution=48, fused=False,
+                        material=material)
+    assert ply is not None
+    with open(ply, "rb") as f:
+        head = f.read(400).decode("ascii", "ignore")
+    assert "property uchar red" in head
+    from i2sdf_tpu.eval import mesh_io
+
+    verts, tris = mesh_io.read_ply(ply)  # reader handles color props
+    assert len(verts) > 0 and len(tris) > 0
+    assert np.isfinite(verts).all()
+
+
+def test_write_ply_colors_roundtrip(tmp_path):
+    from i2sdf_tpu.eval import mesh_io
+
+    verts = np.asarray([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                        [0.0, 1.0, 0.0]], np.float32)
+    tris = np.asarray([[0, 1, 2]], np.int32)
+    colors = np.asarray([[1.0, 0.0, 0.5], [0.0, 1.0, 0.0],
+                         [0.2, 0.2, 0.2]], np.float32)
+    p = str(tmp_path / "colored.ply")
+    mesh_io.write_ply(p, verts, tris, colors=colors)
+    v2, t2 = mesh_io.read_ply(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-6)
+    np.testing.assert_array_equal(t2, tris)
