@@ -158,6 +158,23 @@ def eval_brdf(kd, ks, roughness, n, v, l, diffuse_model: str = "lambert"):
 # ---------------------------------------------------------------------------
 
 
+def sample_uniform_cone(key, axis, cos_half):
+    """Uniform solid-angle direction inside the cone around unit `axis`
+    with aperture cos(half-angle) `cos_half` (N,). Returns (l, pdf) with
+    pdf = 1/(2*pi*(1 - cos_half)) sr^-1 — the next-event-estimation
+    sampler for sphere emitters (cos_half = -1 degenerates to uniform
+    over the full sphere, e.g. shading points inside the emitter)."""
+    u = jax.random.uniform(key, axis.shape[:-1] + (2,))
+    cos_t = 1.0 - u[..., 0] * (1.0 - cos_half)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = 2 * math.pi * u[..., 1]
+    local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t],
+                      axis=-1)
+    l = to_world(local, axis)
+    pdf = 1.0 / jnp.maximum(2 * math.pi * (1.0 - cos_half), 1e-9)
+    return l, pdf
+
+
 def sample_cosine_hemisphere(key, n):
     """Cosine-weighted direction about n; returns (l, pdf)."""
     u = jax.random.uniform(key, n.shape[:-1] + (2,))

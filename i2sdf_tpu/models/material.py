@@ -93,14 +93,32 @@ def material_net_apply(params: Params, cfg: MaterialNetConfig,
     return {"kd": kd, "ks": ks, "rough": rough}
 
 
-def emission_init(radiance) -> Params:
-    """Per-emitter learnable emission, parameterized in log space so the
-    optimizer works multiplicatively across the HDR dynamic range and
-    radiance stays positive (the reference registers raw RGB Parameters,
-    `/root/reference/model/network/__init__.py:66-74`)."""
+def emission_init(radiance, ambient: float = 0.02) -> Params:
+    """Per-emitter learnable emission + a learnable global ambient
+    irradiance, both parameterized in log space so the optimizer works
+    multiplicatively across the HDR dynamic range and values stay
+    positive (the reference registers raw RGB Parameters,
+    `/root/reference/model/network/__init__.py:66-74`).
+
+    The ambient term approximates indirect (multi-bounce) light: the
+    material model's outgoing radiance is
+    `kd * ambient + direct(kd, ks, rough)`. Without it, pixels whose
+    geometry faces away from every emitter carry zero direct signal and
+    their albedo is unconstrained noise (measured: near-zero albedo
+    correlation on the demo scene, whose shading has an ambient term)."""
     radiance = jnp.asarray(radiance, jnp.float32)
-    return {"log_radiance": jnp.log(jnp.clip(radiance, 1e-4, None))}
+    amb = jnp.full((3,), float(ambient), jnp.float32)
+    return {"log_radiance": jnp.log(jnp.clip(radiance, 1e-4, None)),
+            "log_ambient": jnp.log(amb)}
 
 
 def emission_apply(params: Params) -> jnp.ndarray:
+    """(E, 3) per-emitter radiance."""
     return jnp.exp(params["log_radiance"])
+
+
+def ambient_apply(params: Params) -> jnp.ndarray:
+    """(3,) global ambient irradiance (zeros for pre-ambient params)."""
+    if "log_ambient" not in params:
+        return jnp.zeros((3,), jnp.float32)
+    return jnp.exp(params["log_ambient"])

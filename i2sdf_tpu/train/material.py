@@ -42,10 +42,10 @@ import optax
 from ..data.material import MaterialData
 from ..data.recon import ReconData
 from ..models import mlp, renderer
-from ..models.material import (MaterialNetConfig, emission_apply,
-                               emission_init, material_net_apply,
-                               material_net_init)
-from ..models.rendering_layer import RenderingLayerConfig, shade
+from ..models.material import (MaterialNetConfig, ambient_apply,
+                               emission_apply, emission_init,
+                               material_net_apply, material_net_init)
+from ..models.rendering_layer import RenderingLayerConfig, shade_emitters
 from ..train import artifacts
 from ..train.checkpoint import CheckpointManager
 from ..train.state import create_train_state
@@ -71,6 +71,14 @@ class MaterialTrainConfig:
     # breaks the tie the way inverse-rendering pipelines usually do.
     ks_prior: float = 0.04
     ks_prior_weight: float = 0.01
+    # scale the initial emission so a probe render matches the observed
+    # brightness per channel. The cluster-mean init (mean HDR of emitter
+    # pixels) has the right CHROMA but an arbitrary radiometric scale —
+    # the solid angle the emitter subtends is baked into the transport,
+    # and a log-space Adam at lr 5e-4 needs thousands of steps to climb
+    # a missing factor of 20 (measured on the demo scene: point-light
+    # equivalence needs Li ~ 40 where the pixel mean suggested ~2).
+    calibrate_emission: bool = True
     n_emitters: int = 1
     emitter_scale: float = 1.0
     diffuse_model: str = "lambert"
@@ -196,30 +204,38 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
     shading batch is sharded over the mesh's 'data' axis (params
     replicated, gradients psum'd over ICI) — same DP convention as the
     reconstruction step (SURVEY §2c)."""
-    from ..eval.relight import incident_radiance
+    from ..eval.relight import sphere_trace_visibility
 
+    # NEXT-EVENT ESTIMATION shading (shade_emitters): BRDF-sampled MC
+    # hits a compact emitter almost never (measured near-zero gradient
+    # signal on the demo scene, where the light subtends ~2% of the
+    # hemisphere), so every sample is drawn inside the emitter cone
+    # instead — ~450x lower estimator error at spp 8 (measured).
     layer_cfg = RenderingLayerConfig(spp=tcfg.spp,
-                                     diffuse_model=tcfg.diffuse_model,
-                                     detach_sampling=True)
+                                     diffuse_model=tcfg.diffuse_model)
     # the train step shades TWO independent half-spp buffers (see
     # loss_fn), so per-step sample cost equals tcfg.spp
     layer_half = RenderingLayerConfig(spp=max(tcfg.spp // 2, 1),
-                                      diffuse_model=tcfg.diffuse_model,
-                                      detach_sampling=True)
+                                      diffuse_model=tcfg.diffuse_model)
     centers = jnp.asarray(centers, jnp.float32)
     radii = jnp.asarray(radii, jnp.float32)
+
+    def visibility(pts, dirs, t_max):
+        return sphere_trace_visibility(sdf_fn, pts, dirs, t_max,
+                                       n_steps=tcfg.vis_steps)
 
     def predict_with(lcfg, params, key, pts, normals, view_dirs):
         mats = material_net_apply(params["material"], mat_cfg, pts)
         radiance = emission_apply(params["emission"])
-
-        def li(p, d):
-            return incident_radiance(sdf_fn, centers, radii, radiance,
-                                     p, d, n_steps=tcfg.vis_steps)
-
-        out = shade(lcfg, key, pts, normals, view_dirs,
-                    mats["kd"], mats["ks"], mats["rough"], li)
-        return out["color_diffuse"] + out["color_specular"], mats
+        out = shade_emitters(lcfg, key, pts, normals, view_dirs,
+                             mats["kd"], mats["ks"], mats["rough"],
+                             centers, radii, radiance,
+                             visibility_fn=visibility)
+        # learnable ambient irradiance: the indirect-light approximation
+        # (kd * A); see models/material.py::emission_init
+        ambient = mats["kd"] * ambient_apply(params["emission"])[None]
+        return (out["color_diffuse"] + out["color_specular"] + ambient,
+                mats)
 
     def predict(params, key, pts, normals, view_dirs):
         return predict_with(layer_cfg, params, key, pts, normals,
@@ -259,6 +275,25 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
                       "smooth_loss": smooth,
                       "psnr": psnr(pred_mean, gt)}
 
+    def calibrate(params, buffers, key, probe: int = 2048):
+        """Least-squares per-channel emission rescale from a probe
+        render: log_radiance += log(<gt> / <pred>)."""
+        n = buffers["points"].shape[0]
+        idx = jax.random.randint(key, (min(probe, n),), 0, n)
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in buffers.items()}
+        pred, _ = predict(params, jax.random.fold_in(key, 1),
+                          batch["points"], batch["normals"],
+                          batch["view_dirs"])
+        scale = (jnp.clip(batch["rgb"].mean(0), 1e-6, None)
+                 / jnp.clip(pred.mean(0), 1e-6, None))
+        log_s = jnp.log(scale)
+        print(f"[material] emission calibrated by x"
+              f"{np.round(np.asarray(scale), 3).tolist()}")
+        # scale every light source (emitters AND ambient) uniformly
+        emission = {k: v + (log_s[None] if v.ndim == 2 else log_s)
+                    for k, v in params["emission"].items()}
+        return {**params, "emission": emission}
+
     @jax.jit
     def step(state, buffers, key):
         k_idx, k_loss = jax.random.split(key)
@@ -281,7 +316,7 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
         return state._replace(step=state.step + 1, params=params,
                               opt_state=opt_state), metrics
 
-    return step, predict
+    return step, predict, calibrate
 
 
 # ---------------------------------------------------------------------------
@@ -366,10 +401,6 @@ class MaterialTrainer:
             print(f"[material] data-parallel over {n_dev} "
                   f"{jax.devices()[0].platform} devices")
 
-        self.state, self.tx = create_train_state(
-            params, learning_rate=self.tcfg.learning_rate,
-            decay_rate=self.tcfg.decay_rate, decay_steps=self.tcfg.steps)
-
         # visibility tracing evaluates the frozen SDF spp*vis_steps times
         # per batch point — on TPU it rides the fused Pallas MLP kernel
         # (same fast path the sampler and mesher use); CPU keeps XLA
@@ -385,9 +416,20 @@ class MaterialTrainer:
             def sdf_fn(pts):
                 return mlp.sdf_vals(frozen, implicit_cfg, pts)[:, 0]
 
-        self.step_fn, self.predict_fn = make_material_train_step(
-            self.mat_cfg, self.tcfg, sdf_fn, self.emitters.centers,
-            self.emitters.radii, self.tx, mesh=self.mesh)
+        from .state import TrainState, make_optimizer
+
+        self.tx = make_optimizer(self.tcfg.learning_rate,
+                                 self.tcfg.decay_rate,
+                                 decay_steps=self.tcfg.steps)
+        self.step_fn, self.predict_fn, calibrate = \
+            make_material_train_step(
+                self.mat_cfg, self.tcfg, sdf_fn, self.emitters.centers,
+                self.emitters.radii, self.tx, mesh=self.mesh)
+        if self.tcfg.calibrate_emission:
+            self.key, k_cal = jax.random.split(self.key)
+            params = calibrate(params, self.buffers, k_cal)
+        self.state = TrainState(step=jnp.int32(0), params=params,
+                                opt_state=self.tx.init(params))
         self.ckpt = CheckpointManager(
             os.path.join(exp_dir, "material", "checkpoints", "orbax"))
         self.plot_dir = os.path.join(exp_dir, "material", "plots")

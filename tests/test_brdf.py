@@ -106,3 +106,86 @@ def test_combined_pdf_positive_and_normalized_choice():
     ks = jnp.full((128, 3), 0.2)
     pdf = brdf.combined_pdf(kd, ks, jnp.full((128,), 0.3), n, v, l)
     assert np.asarray(pdf).min() > 0
+
+
+def test_sample_uniform_cone_statistics():
+    """Directions land inside the cone; the mean z (in cone frame) of a
+    uniform-solid-angle cap is (1 + cos_half)/2."""
+    axis = jnp.asarray(np.tile(_unit([0.3, -0.2, 0.9]), (4096, 1)))
+    cos_half = jnp.full((4096,), 0.8)
+    l, pdf = brdf.sample_uniform_cone(jax.random.PRNGKey(0), axis,
+                                      cos_half)
+    cos_t = np.asarray(jnp.sum(l * axis, -1))
+    assert cos_t.min() >= 0.8 - 1e-5
+    np.testing.assert_allclose(cos_t.mean(), 0.9, atol=0.01)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(l), axis=-1),
+                               1.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pdf),
+                               1.0 / (2 * np.pi * (1 - 0.8)), rtol=1e-5)
+
+
+def test_shade_emitters_matches_brdf_sampling():
+    """Next-event estimation and BRDF importance sampling estimate the
+    same integral: their high-spp means must agree (the NEE estimator
+    at spp=256 is already near-exact; BRDF sampling needs 4096)."""
+    from i2sdf_tpu.models.rendering_layer import shade_emitters
+
+    rng = np.random.default_rng(7)
+    n_pts = 128
+    pts = jnp.asarray(
+        np.concatenate([rng.uniform(-1, 1, (n_pts, 2)),
+                        np.zeros((n_pts, 1))], -1), jnp.float32)
+    normals = jnp.asarray(np.tile([0.0, 0.0, 1.0], (n_pts, 1)),
+                          jnp.float32)
+    view = jnp.asarray(_unit(np.abs(rng.normal(size=(n_pts, 3)))),
+                       jnp.float32)
+    kd = jnp.full((n_pts, 3), 0.6)
+    ks = jnp.full((n_pts, 3), 0.04)
+    rough = jnp.full((n_pts,), 0.5)
+    centers = jnp.asarray([[0.3, 0.2, 1.8]])
+    radii = jnp.asarray([0.9])
+    radiance = jnp.asarray([[2.0, 3.0, 1.0]])
+
+    def li(p, d):
+        oc = p - centers[0]
+        b = jnp.sum(oc * d, -1)
+        c = jnp.sum(oc * oc, -1) - radii[0] ** 2
+        hit = (b * b - c > 0) & (-b - jnp.sqrt(
+            jnp.maximum(b * b - c, 0.0)) > 1e-3)
+        return radiance[0][None, :] * hit[:, None]
+
+    a = shade(RenderingLayerConfig(spp=4096), jax.random.PRNGKey(1),
+              pts, normals, view, kd, ks, rough, li)
+    b = shade_emitters(RenderingLayerConfig(spp=256),
+                       jax.random.PRNGKey(2), pts, normals, view, kd,
+                       ks, rough, centers, radii, radiance)
+    ta = np.asarray(a["color_diffuse"] + a["color_specular"]).mean(0)
+    tb = np.asarray(b["color_diffuse"] + b["color_specular"]).mean(0)
+    np.testing.assert_allclose(ta, tb, rtol=0.05)
+
+
+def test_shade_emitters_gradient_signal_small_emitter():
+    """The motivating case for NEE: a compact emitter (2% of the
+    hemisphere) still yields a nonzero, finite kd gradient at spp=4,
+    where BRDF sampling's gradient is almost always exactly zero."""
+    from i2sdf_tpu.models.rendering_layer import shade_emitters
+
+    n_pts = 32
+    pts = jnp.zeros((n_pts, 3))
+    normals = jnp.asarray(np.tile([0.0, 0.0, 1.0], (n_pts, 1)),
+                          jnp.float32)
+    centers = jnp.asarray([[0.0, 0.0, 2.0]])
+    radii = jnp.asarray([0.15])
+    radiance = jnp.asarray([[5.0, 5.0, 5.0]])
+
+    def loss(kd):
+        out = shade_emitters(RenderingLayerConfig(spp=4),
+                             jax.random.PRNGKey(0), pts, normals,
+                             normals, kd, jnp.full((n_pts, 3), 0.04),
+                             jnp.full((n_pts,), 0.5), centers, radii,
+                             radiance)
+        return (out["color_diffuse"] + out["color_specular"]).sum()
+
+    g = np.asarray(jax.grad(loss)(jnp.full((n_pts, 3), 0.5)))
+    assert np.isfinite(g).all()
+    assert (np.abs(g).sum(axis=-1) > 0).all()  # every point has signal

@@ -125,8 +125,8 @@ def test_train_step_recovers_material_product():
     }
     state, tx = create_train_state(params, learning_rate=tcfg.learning_rate,
                                    decay_steps=tcfg.steps)
-    step, predict = make_material_train_step(mat_cfg, tcfg, empty_sdf,
-                                             centers, radii, tx)
+    step, predict, _ = make_material_train_step(mat_cfg, tcfg, empty_sdf,
+                                                centers, radii, tx)
     buffers = {"points": pts, "normals": normals, "view_dirs": view,
                "rgb": gt}
     first = None
@@ -199,8 +199,9 @@ def test_material_step_dp_equivalence():
                 else replicate_params(mesh, buffers))
         state, tx = create_train_state(params, learning_rate=1e-3,
                                        decay_steps=100)
-        step, _ = make_material_train_step(mat_cfg, tcfg, empty_sdf,
-                                           centers, radii, tx, mesh=mesh)
+        step, _, _ = make_material_train_step(mat_cfg, tcfg, empty_sdf,
+                                              centers, radii, tx,
+                                              mesh=mesh)
         k = jax.random.PRNGKey(11)
         for _ in range(3):
             k, ks = jax.random.split(k)
