@@ -320,6 +320,26 @@ def test_material_trainer_end_to_end(scene, tmp_path):
     assert np.isfinite(verts).all()
 
 
+@pytest.mark.slow
+def test_demo_editing_script(tmp_path):
+    """The full editing-pipeline demo (recon -> material -> edited
+    relight) must run end to end and write its panel."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               PYTHONPATH=repo)
+    out = str(tmp_path / "edit_demo")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "demo_editing.py"),
+         "--recon_steps", "30", "--material_steps", "4", "--out", out],
+        capture_output=True, text=True, cwd=repo, timeout=900)
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "[edit-demo] OK" in proc.stdout
+    assert os.path.exists(os.path.join(out, "editing_panel.png"))
+
+
 def test_write_ply_colors_roundtrip(tmp_path):
     from i2sdf_tpu.eval import mesh_io
 
