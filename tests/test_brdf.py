@@ -189,3 +189,34 @@ def test_shade_emitters_gradient_signal_small_emitter():
     g = np.asarray(jax.grad(loss)(jnp.full((n_pts, 3), 0.5)))
     assert np.isfinite(g).all()
     assert (np.abs(g).sum(axis=-1) > 0).all()  # every point has signal
+
+
+def test_shade_emitters_two_emitters_additive():
+    """Direct light from independent emitters adds linearly."""
+    from i2sdf_tpu.models.rendering_layer import shade_emitters
+
+    n_pts = 64
+    pts = jnp.zeros((n_pts, 3))
+    normals = jnp.asarray(np.tile([0.0, 0.0, 1.0], (n_pts, 1)),
+                          jnp.float32)
+    kd = jnp.full((n_pts, 3), 0.5)
+    ks = jnp.full((n_pts, 3), 0.04)
+    rough = jnp.full((n_pts,), 0.5)
+    cfg = RenderingLayerConfig(spp=512)
+    c1 = jnp.asarray([[0.8, 0.0, 1.5]])
+    c2 = jnp.asarray([[-0.8, 0.0, 1.5]])
+    r1 = jnp.asarray([0.5])
+    l1 = jnp.asarray([[2.0, 1.0, 0.5]])
+    l2 = jnp.asarray([[0.5, 1.0, 2.0]])
+
+    def total(centers, radii, radiance, key):
+        o = shade_emitters(cfg, jax.random.PRNGKey(key), pts, normals,
+                           normals, kd, ks, rough, centers, radii,
+                           radiance)
+        return np.asarray(o["color_diffuse"] + o["color_specular"])
+
+    both = total(jnp.concatenate([c1, c2]), jnp.concatenate([r1, r1]),
+                 jnp.concatenate([l1, l2]), 0)
+    a = total(c1, r1, l1, 1)
+    b = total(c2, r1, l2, 2)
+    np.testing.assert_allclose(both.mean(0), (a + b).mean(0), rtol=0.05)
