@@ -61,7 +61,13 @@ def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
     return alb
 
 
-_LIGHT_POS = jnp.asarray([0.0, 1.7, 0.0])
+# just below the emissive ceiling patch (is_emitter marks y>1.95), so
+# the light-mask pixels sit AT the physical light — the same geometry
+# real captures have, where the mask marks the emissive surface itself.
+# (An earlier 1.7 put the point light 0.3 below the patch; emitters
+# clustered from the mask then modeled a light in the wrong place and
+# relighting came out structurally wrong.)
+_LIGHT_POS = jnp.asarray([0.0, 1.9, 0.0])
 
 
 def is_emitter(p: jnp.ndarray) -> jnp.ndarray:

@@ -125,21 +125,37 @@ def find_emitters(rd: ReconData, n_emitters: int = 1,
 def sphere_trace_visibility(sdf_fn, origins, dirs, t_max,
                             n_steps: int = 32, eps: float = 2e-3,
                             t0: float = 2e-2):
-    """1 where the ray reaches t_max unoccluded, else 0 (fixed-iteration
-    sphere tracing; marches at least eps/2 per step so it terminates on
-    surfaces the learned SDF underestimates)."""
-    t_max = jnp.maximum(t_max, t0)
+    """1 where the segment [t0, t_max] is unoccluded, else 0.
 
-    def body(_, t):
+    Sphere tracing with the step FLOORED at t_max/n_steps, so the march
+    is guaranteed to span the whole segment within the fixed iteration
+    budget; occlusion means the CLOSEST APPROACH came within eps of a
+    surface (min sampled sdf < eps — catches both penetration and
+    surfaces the sphere steps converge onto without ever sampling
+    inside, e.g. occluders thinner than the floor hit dead-center). A
+    pure eps-floored march (the earlier design) stalls inside the wide
+    low-|sdf| band of a partially-trained SDF and wrongly reports
+    occlusion for most rays — measured on the editing demo: visibility
+    collapsed, the ambient term absorbed all direct light, and the
+    relit images came out structureless. Sub-floor features can still
+    be stepped across off-center (a softened shadow edge); raise
+    vis_steps to trade time for shadow fidelity."""
+    t_max = jnp.maximum(t_max, t0)
+    floor = t_max / n_steps
+
+    def body(_, carry):
+        t, min_s = carry
         pts = origins + t[:, None] * dirs
         s = sdf_fn(pts)
-        return jnp.minimum(t + jnp.maximum(s, 0.5 * eps), t_max)
+        min_s = jnp.minimum(min_s, s)
+        t = jnp.minimum(t + jnp.maximum(s, floor), t_max)
+        return t, min_s
 
-    t = jax.lax.fori_loop(0, n_steps,  body,
-                          jnp.full(origins.shape[:1], t0))
-    reached = t >= t_max * 0.98
-    clear = sdf_fn(origins + t[:, None] * dirs) > eps
-    return (reached | clear).astype(jnp.float32)
+    _, min_s = jax.lax.fori_loop(
+        0, n_steps, body,
+        (jnp.full(origins.shape[:1], t0),
+         jnp.full(origins.shape[:1], jnp.inf)))
+    return (min_s > eps).astype(jnp.float32)
 
 
 def incident_radiance(sdf_fn, centers, radii, radiance, points, dirs,

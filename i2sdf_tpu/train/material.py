@@ -71,6 +71,13 @@ class MaterialTrainConfig:
     # breaks the tie the way inverse-rendering pipelines usually do.
     ks_prior: float = 0.04
     ks_prior_weight: float = 0.01
+    # mild downward pressure on the ambient irradiance: ambient and
+    # direct light are partially interchangeable explanations of
+    # brightness, and when visibility/geometry is imperfect the
+    # optimizer prefers the structureless ambient (measured on the
+    # editing demo: relit images came out flat). Direct light should
+    # carry the shading; ambient is the residual.
+    ambient_prior_weight: float = 0.01
     # scale the initial emission so a probe render matches the observed
     # brightness per channel. The cluster-mean init (mean HDR of emitter
     # pixels) has the right CHROMA but an arbitrary radiometric scale —
@@ -267,8 +274,10 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
         smooth = (jnp.abs(mats["kd"] - mats_j["kd"]).mean()
                   + jnp.abs(mats["rough"] - mats_j["rough"]).mean())
         ks_reg = jnp.abs(mats["ks"] - tcfg.ks_prior).mean()
+        amb_reg = ambient_apply(params["emission"]).mean()
         loss = (rgb_loss + tcfg.smooth_weight * smooth
-                + tcfg.ks_prior_weight * ks_reg)
+                + tcfg.ks_prior_weight * ks_reg
+                + tcfg.ambient_prior_weight * amb_reg)
         pred_mean = 0.5 * (pred_a + pred_b)
         mse = jnp.square(pred_mean - gt).mean()
         return loss, {"loss": loss, "rgb_loss": mse,

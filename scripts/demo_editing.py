@@ -73,11 +73,16 @@ def main():
             },
         },
         "material": {
-            "steps": args.material_steps, "batch_size": 512, "spp": 4,
+            # the measured-convergent recipe (scripts/
+            # eval_material_recovery.py): smaller nets/batches underfit
+            # — 64^3/multires-4/batch-512/spp-4 plateaus ~8 dB worse
+            # even with perfect geometry and the true emitter
+            "steps": args.material_steps, "batch_size": 1024, "spp": 8,
             "vis_steps": 12, "n_emitters": 1, "plot_freq": 0,
             "checkpoint_freq": 0, "min_weight_sum": 0.2,
             "learning_rate": 5.0e-3, "smooth_weight": 1.0e-4,
-            "material_network": {"dims": [64, 64, 64], "multires": 4},
+            "material_network": {"dims": [128, 128, 128, 128],
+                                 "multires": 6},
         },
     })
 
