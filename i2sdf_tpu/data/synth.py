@@ -22,7 +22,10 @@ def scene_sdf(p: jnp.ndarray) -> jnp.ndarray:
     """Analytic SDF of the demo room: (N, 3) -> (N,).
 
     Room interior of half-extent 2 (solid outside), a unit-ish sphere,
-    and a thin vertical pillar (r=0.04) — a bubble-loss target.
+    a thin vertical pillar (r=0.04, a bubble-loss target), and the
+    ceiling-mounted spherical light FIXTURE (the emitter is real
+    geometry, so depth / normals / the light mask / occlusion are all
+    consistent with the images — the same property real captures have).
     """
     b = jnp.asarray([2.0, 2.0, 2.0])
     q = jnp.abs(p) - b
@@ -38,7 +41,10 @@ def scene_sdf(p: jnp.ndarray) -> jnp.ndarray:
     dxz = p[..., [0, 2]] - jnp.asarray([-1.0, -0.8])
     pillar = jnp.linalg.norm(dxz, axis=-1) - 0.04
 
-    return jnp.minimum(room, jnp.minimum(sphere, pillar))
+    fixture = jnp.linalg.norm(p - _LIGHT_POS, axis=-1) - _LIGHT_RADIUS
+
+    return jnp.minimum(jnp.minimum(room, fixture),
+                       jnp.minimum(sphere, pillar))
 
 
 def scene_normal(p: jnp.ndarray) -> jnp.ndarray:
@@ -61,20 +67,24 @@ def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
     return alb
 
 
-# just below the emissive ceiling patch (is_emitter marks y>1.95), so
-# the light-mask pixels sit AT the physical light — the same geometry
-# real captures have, where the mask marks the emissive surface itself.
-# (An earlier 1.7 put the point light 0.3 below the patch; emitters
-# clustered from the mask then modeled a light in the wrong place and
-# relighting came out structurally wrong.)
-_LIGHT_POS = jnp.asarray([0.0, 1.9, 0.0])
+# The light is a spherical FIXTURE tangent to the ceiling from below
+# (top at y=2.0) — part of scene_sdf, so light-mask pixels lie ON the
+# emitting surface exactly like real captures, and the GT images below
+# are rendered with the SAME light-transport model the material stage
+# inverts (sphere emitter + traced shadows + constant ambient). Earlier
+# versions shaded with a shadowless point light the mask didn't sit on:
+# the inverse problem was then ill-posed by construction and the
+# material stage plateaued ~12 dB below its recovery ceiling.
+_LIGHT_POS = jnp.asarray([0.0, 1.8, 0.0])
+_LIGHT_RADIUS = 0.2
+_LIGHT_RADIANCE = jnp.asarray([110.0, 100.0, 90.0])  # slightly warm
+_AMBIENT = 0.15
 
 
 def is_emitter(p: jnp.ndarray) -> jnp.ndarray:
-    """Ceiling patch acting as the light (for light_mask supervision)."""
-    near_ceiling = p[..., 1] > 1.95
-    patch = (jnp.abs(p[..., 0]) < 0.5) & (jnp.abs(p[..., 2]) < 0.5)
-    return (near_ceiling & patch).astype(jnp.float32)
+    """1 on the emitting fixture surface (light_mask supervision)."""
+    d = jnp.linalg.norm(p - _LIGHT_POS, axis=-1)
+    return (d < _LIGHT_RADIUS + 0.02).astype(jnp.float32)
 
 
 def sphere_trace(cam_loc, ray_dirs, n_steps: int = 128):
@@ -95,17 +105,56 @@ def sphere_trace(cam_loc, ray_dirs, n_steps: int = 128):
     return t, done
 
 
+def _shadow_visibility(p, n, n_steps: int = 48, eps: float = 1e-3):
+    """1 where the segment from `p` (lifted off the surface along `n`)
+    to the fixture's near surface is unoccluded. Min-SDF march with the
+    step floored at t_max/n_steps (same scheme as
+    eval/relight.py::sphere_trace_visibility)."""
+    to_l = _LIGHT_POS[None] - p
+    d = jnp.linalg.norm(to_l, axis=-1)
+    l = to_l / jnp.maximum(d, 1e-9)[:, None]
+    t_max = jnp.maximum(d - _LIGHT_RADIUS - 1e-2, 1e-3)
+    o = p + 5e-3 * n  # lift: the origin itself has sdf ~ 0
+
+    def body(carry, _):
+        t, min_s = carry
+        s = scene_sdf(o + t[:, None] * l)
+        min_s = jnp.minimum(min_s, s)
+        t = jnp.minimum(t + jnp.maximum(s, t_max / n_steps), t_max)
+        return (t, min_s), None
+
+    (_, min_s), _ = jax.lax.scan(
+        body, (jnp.full(d.shape, 1e-2), jnp.full(d.shape, jnp.inf)),
+        None, length=n_steps)
+    return (min_s > eps).astype(jnp.float32)
+
+
 def shade(p, n, view_dir):
-    """Lambertian + ambient from a single point light at the ceiling."""
+    """UNCLIPPED linear radiance: Lambertian direct lighting from the
+    spherical fixture (solid-angle irradiance + sphere-traced hard
+    shadows) + constant ambient — the exact transport
+    `train/material.py` inverts, so material recovery on this scene is
+    a well-posed problem. Lo = alb * (ambient
+    + L * sin^2(half-angle) * <n,l> * vis); emitter pixels render at
+    the emission. The generator stores this raw in `hdr/*.exr` (the
+    material stage's radiometric input, reference DATA_CONVENTION
+    style) and clipped to [0,1] in `image/*.png` (the recon stage's
+    LDR input) — near a radiance-110 light the clipped fraction is
+    large enough to bias any fit done in LDR (measured: emission
+    calibrated 2.4x low, albedo corr 0.46 vs 0.80+ on HDR)."""
     to_light = _LIGHT_POS - p
     dist2 = jnp.sum(to_light**2, axis=-1, keepdims=True)
-    l = to_light / jnp.sqrt(jnp.maximum(dist2, 1e-9))
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-9))
+    l = to_light / dist
     ndotl = jnp.clip(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+    sin2_h = jnp.clip((_LIGHT_RADIUS / dist) ** 2, 0.0, 1.0)
+    vis = _shadow_visibility(p, n)[:, None]
     alb = scene_albedo(p)
     emit = is_emitter(p)[..., None]
-    color = alb * (0.25 + 2.5 * ndotl / jnp.maximum(dist2, 0.5))
-    color = jnp.where(emit > 0, jnp.ones_like(color), color)
-    return jnp.clip(color, 0.0, 1.0)
+    color = alb * (_AMBIENT + _LIGHT_RADIANCE[None] * sin2_h * ndotl * vis)
+    return jnp.where(emit > 0,
+                     jnp.broadcast_to(_LIGHT_RADIANCE[None], color.shape),
+                     color)
 
 
 def _look_at(eye, target, up=np.array([0.0, 1.0, 0.0])):
@@ -139,7 +188,7 @@ def generate_synthetic_scene(
 
     H, W = img_res
     scan_dir = os.path.join(out_dir, f"scan{scan_id}")
-    for sub in ("image", "depth", "normal", "light_mask"):
+    for sub in ("image", "depth", "normal", "light_mask", "hdr"):
         os.makedirs(os.path.join(scan_dir, sub), exist_ok=True)
 
     focal = 0.8 * W
@@ -156,8 +205,8 @@ def generate_synthetic_scene(
         eye = np.array([1.2 * np.cos(ang), 0.15 * np.sin(2 * ang),
                         1.2 * np.sin(ang)])
         if n_images >= 4 and i % 4 == 3:
-            # every 4th view tilts toward the ceiling so the emitter
-            # patch (is_emitter: y>1.95) gets light-mask coverage
+            # every 4th view tilts toward the ceiling so the light
+            # fixture (is_emitter) gets light-mask coverage
             target = np.array([0.2 * np.cos(ang + 2.2), 1.6,
                                0.2 * np.sin(ang + 2.2)])
         else:
@@ -177,8 +226,9 @@ def generate_synthetic_scene(
         t, hit = sphere_trace(cam, dirs_unit)
         p = cam + t[:, None] * dirs_unit
         n = scene_normal(p)
-        rgb = shade(p, n, -dirs_unit)
-        rgb = np.asarray(jnp.where(hit[:, None], rgb, 0.0))
+        hdr = np.asarray(jnp.where(hit[:, None],
+                                   shade(p, n, -dirs_unit), 0.0))
+        rgb = np.clip(hdr, 0.0, 1.0)
 
         # stored depth convention: the model predicts euclidean_t/||raw_dir||
         # with raw camera dirs of z_cam=1, i.e. z-depth; store exactly that
@@ -193,6 +243,11 @@ def generate_synthetic_scene(
 
         cv2.imwrite(os.path.join(scan_dir, "image", f"{i:04d}.png"),
                     (rgb.reshape(H, W, 3)[:, :, ::-1] * 255).astype(np.uint8))
+        from ..native import exr_write
+
+        # unclipped linear radiance: the material stage's input
+        exr_write(os.path.join(scan_dir, "hdr", f"{i:04d}.exr"),
+                  hdr.reshape(H, W, 3).astype(np.float32), half=False)
         if depth_format == "exr":
             from ..native import exr_write
 

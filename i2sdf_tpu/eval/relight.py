@@ -158,6 +158,34 @@ def sphere_trace_visibility(sdf_fn, origins, dirs, t_max,
     return (min_s > eps).astype(jnp.float32)
 
 
+def carve_emitters_sdf(sdf_fn, centers, radii, margin: float = 0.05):
+    """Wrap `sdf_fn` so the inside of every emitter ball (plus `margin`)
+    reads as FREE SPACE for visibility tracing.
+
+    Emitters discovered from light masks sit ON scene surfaces (a panel
+    in the ceiling, a lamp against a wall), so the emitting surface
+    itself — and the wall it is mounted in, inside the cluster's
+    bounding ball — must not occlude its own light. Without the carve,
+    NEE visibility toward a surface-mounted emitter terminates on that
+    very surface and reports ~total occlusion (measured on the editing
+    demo: true-SDF visibility toward the mask-clustered ceiling emitter
+    was 0.009, direct light vanished, and the ambient term absorbed the
+    whole image). The margin also keeps the march's min-SDF test clear
+    of the ~0 band right at the carve boundary."""
+    centers = jnp.asarray(centers, jnp.float32)
+    radii = jnp.asarray(radii, jnp.float32)
+
+    def carved(pts):
+        s = sdf_fn(pts)
+        for e in range(centers.shape[0]):
+            inside = (radii[e] + margin
+                      - jnp.linalg.norm(pts - centers[e][None], axis=-1))
+            s = jnp.maximum(s, inside)
+        return s
+
+    return carved
+
+
 def incident_radiance(sdf_fn, centers, radii, radiance, points, dirs,
                       n_steps: int = 32):
     """(N, 3) incoming radiance at `points` along `dirs`: per-emitter
@@ -169,6 +197,7 @@ def incident_radiance(sdf_fn, centers, radii, radiance, points, dirs,
     per-emitter learnable emission params,
     `/root/reference/model/network/__init__.py:49-75`)."""
     n_emitters = centers.shape[0]
+    sdf_fn = carve_emitters_sdf(sdf_fn, centers, radii)
     total = jnp.zeros_like(points)
     for e in range(n_emitters):
         oc = points - centers[e]
@@ -250,8 +279,10 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
         return mlp.sdf_vals(params["implicit"], model_cfg.implicit,
                             pts)[:, 0]
 
+    vis_sdf = carve_emitters_sdf(sdf_fn, emitters.centers, emitters.radii)
+
     def vis_fn(pts, dirs, t_max):
-        return sphere_trace_visibility(sdf_fn, pts, dirs, t_max,
+        return sphere_trace_visibility(vis_sdf, pts, dirs, t_max,
                                        n_steps=vis_steps)
 
     # learned ambient irradiance (indirect-light approximation) when a
@@ -338,6 +369,15 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
             spec[sl] = np.asarray(o["color_specular"])[: e - s]
 
         relit = diff + spec
+        # emitting surfaces render at their (edited) emission — a pixel
+        # on the fixture shows the light itself, not a shaded material
+        P = np.asarray(pts)
+        for e in range(emitters.count):
+            on_emitter = (np.linalg.norm(
+                P - np.asarray(emitters.centers)[e], axis=-1)
+                < float(np.asarray(emitters.radii)[e]) + 0.05)
+            relit = np.where(on_emitter[:, None],
+                             np.asarray(emitters.radiance)[e][None], relit)
         tag = f"{idx:04d}"
         for name, img in (("relit", relit), ("diffuse", diff),
                           ("specular", spec)):

@@ -78,6 +78,15 @@ class MaterialTrainConfig:
     # editing demo: relit images came out flat). Direct light should
     # carry the shading; ambient is the residual.
     ambient_prior_weight: float = 0.01
+    # relative (luminance-normalized) MSE: HDR targets are heavy-tailed
+    # (pixels near the light are ~100x the median), so a plain MSE's
+    # gradient is dominated by a handful of bright pixels and the fit
+    # oscillates (measured on the recovery eval: per-200-step rgb_mse
+    # swung 0.03-0.21). Weighting each pixel by 1/(lum(gt)+eps)^2 —
+    # a GT-only weight, so the dual-buffer estimator stays unbiased —
+    # is the standard inverse-rendering relative-L2.
+    relative_mse: bool = True
+    relative_mse_eps: float = 0.1
     # scale the initial emission so a probe render matches the observed
     # brightness per channel. The cluster-mean init (mean HDR of emitter
     # pixels) has the right CHROMA but an arbitrary radiometric scale —
@@ -211,7 +220,7 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
     shading batch is sharded over the mesh's 'data' axis (params
     replicated, gradients psum'd over ICI) — same DP convention as the
     reconstruction step (SURVEY §2c)."""
-    from ..eval.relight import sphere_trace_visibility
+    from ..eval.relight import carve_emitters_sdf, sphere_trace_visibility
 
     # NEXT-EVENT ESTIMATION shading (shade_emitters): BRDF-sampled MC
     # hits a compact emitter almost never (measured near-zero gradient
@@ -226,9 +235,12 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
                                       diffuse_model=tcfg.diffuse_model)
     centers = jnp.asarray(centers, jnp.float32)
     radii = jnp.asarray(radii, jnp.float32)
+    # mask-discovered emitters sit ON scene surfaces; carve their balls
+    # out of the occluder SDF so they don't shadow their own light
+    vis_sdf = carve_emitters_sdf(sdf_fn, centers, radii)
 
     def visibility(pts, dirs, t_max):
-        return sphere_trace_visibility(sdf_fn, pts, dirs, t_max,
+        return sphere_trace_visibility(vis_sdf, pts, dirs, t_max,
                                        n_steps=tcfg.vis_steps)
 
     def predict_with(lcfg, params, key, pts, normals, view_dirs):
@@ -265,7 +277,12 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
                                  normals, view_dirs)
         res_a = jax.lax.stop_gradient(pred_a) - gt
         res_b = jax.lax.stop_gradient(pred_b) - gt
-        rgb_loss = (res_a * pred_b + res_b * pred_a).mean()
+        if tcfg.relative_mse:
+            w = 1.0 / jnp.square(
+                gt.mean(-1, keepdims=True) + tcfg.relative_mse_eps)
+        else:
+            w = 1.0
+        rgb_loss = (w * (res_a * pred_b + res_b * pred_a)).mean()
         # material smoothness: the field should vary slower than shading
         # (reference's normal-smoothness analog, applied to kd/roughness)
         jit_pts = pts + tcfg.smooth_eps * jax.random.normal(
@@ -391,6 +408,21 @@ class MaterialTrainer:
             min_weight_sum=self.tcfg.min_weight_sum)
         print(f"[material] baked {int(self.buffers['points'].shape[0])} "
               "surface samples")
+
+        # emitting surfaces are not material-fit targets — their pixels
+        # show emission, not reflected light. Drop baked points inside
+        # any emitter ball (+ margin, matching carve_emitters_sdf).
+        pts_np = np.asarray(self.buffers["points"])
+        keep = np.ones(pts_np.shape[0], bool)
+        for e in range(self.emitters.count):
+            keep &= (np.linalg.norm(
+                pts_np - np.asarray(self.emitters.centers)[e], axis=-1)
+                > float(np.asarray(self.emitters.radii)[e]) + 0.05)
+        if not keep.all():
+            self.buffers = {k: jnp.asarray(np.asarray(v)[keep])
+                            for k, v in self.buffers.items()}
+            print(f"[material] excluded {int((~keep).sum())} "
+                  "emitter-surface samples from the fit")
 
         self.key, k_init = jax.random.split(self.key)
         params = {

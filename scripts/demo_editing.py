@@ -29,7 +29,7 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--recon_steps", type=int, default=400)
-    ap.add_argument("--material_steps", type=int, default=300)
+    ap.add_argument("--material_steps", type=int, default=600)
     ap.add_argument("--out", default="/tmp/i2sdf_edit_demo")
     args = ap.parse_args()
 

@@ -12,7 +12,7 @@ Writes:
   docs/evidence/material_recovery_albedo.png  (learned kd | GT albedo,
                                                view 0)
 
-Env knobs: REC_STEPS (default 2000), REC_LR (5e-3), REC_RES ("48x64"),
+Env knobs: REC_STEPS (default 8000), REC_LR (5e-3), REC_RES ("48x64"),
 REC_N_IMAGES (4), REC_OUT (evidence dir override).
 """
 
@@ -36,7 +36,8 @@ def main() -> int:
 
     from i2sdf_tpu.data import generate_synthetic_scene
     from i2sdf_tpu.data.material import MaterialData
-    from i2sdf_tpu.data.synth import (_LIGHT_POS, scene_albedo,
+    from i2sdf_tpu.data.synth import (_LIGHT_POS, _LIGHT_RADIUS,
+                                      is_emitter, scene_albedo,
                                       scene_normal, scene_sdf,
                                       sphere_trace)
     from i2sdf_tpu.models.material import (MaterialNetConfig,
@@ -49,7 +50,9 @@ def main() -> int:
     from i2sdf_tpu.train.state import TrainState, make_optimizer
     from i2sdf_tpu.train import artifacts
 
-    steps = int(os.environ.get("REC_STEPS", "2000"))
+    # 8000: the HDR fit's emission/ambient separation converges slowly
+    # (emission was still climbing at 2000 steps: 92 -> 132 of 110)
+    steps = int(os.environ.get("REC_STEPS", "8000"))
     lr = float(os.environ.get("REC_LR", "5e-3"))
     H, W = (int(x) for x in os.environ.get("REC_RES", "48x64").split("x"))
     n_images = int(os.environ.get("REC_N_IMAGES", "4"))
@@ -62,7 +65,9 @@ def main() -> int:
     root = tempfile.mkdtemp(prefix="i2sdf_mat_rec_")
     generate_synthetic_scene(os.path.join(root, "demo"),
                              n_images=n_images, img_res=(H, W))
-    md = MaterialData("demo", scan_id=0, data_root=root)
+    # fit in linear radiometric units (hdr/): LDR clipping near the
+    # radiance-110 fixture otherwise biases emission/albedo low
+    md = MaterialData("demo", scan_id=0, data_root=root, is_hdr=True)
 
     from i2sdf_tpu.utils.cameras import get_camera_params
 
@@ -78,7 +83,8 @@ def main() -> int:
         cams = jnp.broadcast_to(cam_loc[0], units.shape)
         t, hit = sphere_trace(cams, units)
         p = cams + t[:, None] * units
-        sel = np.asarray(hit)
+        # fixture pixels show emission, not reflected light — exclude
+        sel = np.asarray(hit) & (np.asarray(is_emitter(p)) < 0.5)
         view_masks.append((sel, np.asarray(p)))
         flat["points"].append(np.asarray(p)[sel])
         flat["normals"].append(np.asarray(scene_normal(p))[sel])
@@ -98,7 +104,7 @@ def main() -> int:
     }
     tx = make_optimizer(lr, decay_steps=steps)
     centers = jnp.asarray(_LIGHT_POS)[None]
-    radii = jnp.asarray([0.25])
+    radii = jnp.asarray([_LIGHT_RADIUS])
     step_fn, _, calibrate = make_material_train_step(
         mat_cfg, tcfg, lambda p: scene_sdf(p), centers, radii, tx)
     key = jax.random.PRNGKey(9)

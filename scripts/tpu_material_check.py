@@ -96,15 +96,16 @@ def main() -> int:
     # its baked points carry no scene structure; here the TRUE analytic
     # geometry (data/synth.py) provides the bake and the visibility SDF,
     # and the learned kd field is correlated per channel with the
-    # generator's scene_albedo. The scene's shading is
-    # albedo * (ambient + direct) (synth.py::shade), so albedo enters
-    # multiplicatively and must correlate strongly even though the
-    # material stage's light transport (sphere emitter, no ambient)
-    # differs from the generator's (point light, no shadows).
+    # generator's scene_albedo. The generator's transport
+    # (synth.py::shade — sphere emitter + traced shadows + ambient) is
+    # the same model the material stage inverts, so albedo must
+    # correlate strongly; residual decorrelation is LDR clipping near
+    # the light plus estimator noise.
     import jax.numpy as jnp
 
     from i2sdf_tpu.data.material import MaterialData
-    from i2sdf_tpu.data.synth import (_LIGHT_POS, scene_albedo, scene_normal,
+    from i2sdf_tpu.data.synth import (_LIGHT_POS, _LIGHT_RADIUS, is_emitter,
+                                      scene_albedo, scene_normal,
                                       scene_sdf, sphere_trace)
     from i2sdf_tpu.models.material import (MaterialNetConfig, emission_init,
                                            material_net_apply,
@@ -113,7 +114,9 @@ def main() -> int:
                                           make_material_train_step)
     from i2sdf_tpu.utils.cameras import get_camera_params
 
-    md = MaterialData("demo", scan_id=0, data_root=root)
+    # fit in linear radiometric units (hdr/): LDR clipping near the
+    # radiance-110 fixture otherwise biases emission/albedo low
+    md = MaterialData("demo", scan_id=0, data_root=root, is_hdr=True)
     flat = {k: [] for k in ("points", "normals", "view_dirs", "rgb")}
     for i in range(md.n_images):
         uv = jnp.asarray(md.uv)
@@ -125,7 +128,8 @@ def main() -> int:
         cams = jnp.broadcast_to(cam_loc[0], units.shape)
         t, hit = sphere_trace(cams, units)
         p = cams + t[:, None] * units
-        sel = np.asarray(hit)
+        # fixture pixels show emission, not reflected light — exclude
+        sel = np.asarray(hit) & (np.asarray(is_emitter(p)) < 0.5)
         flat["points"].append(np.asarray(p)[sel])
         flat["normals"].append(np.asarray(scene_normal(p))[sel])
         flat["view_dirs"].append(np.asarray(-units)[sel])
@@ -146,7 +150,7 @@ def main() -> int:
 
     tx = make_optimizer(tcfg.learning_rate, decay_steps=tcfg.steps)
     centers = jnp.asarray(_LIGHT_POS)[None]
-    radii = jnp.asarray([0.25])
+    radii = jnp.asarray([_LIGHT_RADIUS])
     step_fn, _, calibrate = make_material_train_step(
         mat_cfg, tcfg, lambda p: scene_sdf(p), centers, radii, tx)
     key = jax.random.PRNGKey(9)

@@ -29,6 +29,20 @@ def test_material_downsample(scene):
     assert half.mask_images.shape == (4, 192, 1)
 
 
+def test_generator_hdr_matches_clipped_ldr(scene):
+    """The generator ships unclipped linear radiance in hdr/*.exr; the
+    LDR image/*.png must be exactly clip(hdr, 0, 1) (up to 8-bit
+    quantization). The material stage fits the HDR copy — LDR clipping
+    near the radiance-110 fixture otherwise biases the inverse fit."""
+    ldr = MaterialData("demo", data_root=scene)
+    hdr = MaterialData("demo", data_root=scene, is_hdr=True)
+    assert hdr.n_images == ldr.n_images
+    h = hdr.rgb_images
+    l = ldr.rgb_images
+    assert float(h.max()) > 1.5  # unclipped radiance preserved
+    np.testing.assert_allclose(np.clip(h, 0.0, 1.0), l, atol=1.0 / 255)
+
+
 def test_plotdata_from_disk_and_downsample(scene):
     pd = PlotData("demo", data_root=scene, downsample=2, plot_nimgs=-1)
     assert pd.img_res == [12, 16]

@@ -29,6 +29,9 @@ def test_hdr_scan_loads(tmp_path):
     import shutil
 
     hdr_dir = os.path.join(scan, "hdr")
+    # the generator now ships its own hdr/*.exr — replace with .npy to
+    # exercise that loading path specifically
+    shutil.rmtree(hdr_dir, ignore_errors=True)
     os.makedirs(hdr_dir, exist_ok=True)
     rng = np.random.default_rng(0)
     for i in range(3):

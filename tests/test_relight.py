@@ -10,7 +10,8 @@ import pytest
 
 from i2sdf_tpu.config import CfgNode
 from i2sdf_tpu.data import ReconData, generate_synthetic_scene
-from i2sdf_tpu.eval.relight import (Emitters, find_emitters,
+from i2sdf_tpu.eval.relight import (Emitters, carve_emitters_sdf,
+                                    find_emitters,
                                     make_incident_radiance_fn, run_relight,
                                     sphere_trace_visibility)
 from i2sdf_tpu.models import renderer
@@ -67,6 +68,55 @@ def test_sphere_trace_visibility_analytic():
                                   jnp.asarray([6.0, 6.0]), n_steps=48)
     assert float(vis[0]) == 0.0  # hits the sphere
     assert float(vis[1]) == 1.0  # passes above it
+
+
+def test_find_emitters_locates_fixture(tmp_path):
+    """With a mask-covered view, the clustered emitter must land on the
+    scene's spherical light fixture (synth.py::_LIGHT_POS)."""
+    from i2sdf_tpu.data.synth import _LIGHT_POS, _LIGHT_RADIUS
+
+    generate_synthetic_scene(str(tmp_path / "demo"), n_images=4,
+                             img_res=(32, 40))
+    rd = ReconData("demo", scan_id=0, data_root=str(tmp_path),
+                   use_depth=True, use_lightmask=True)
+    em = find_emitters(rd, n_emitters=1)
+    center = np.asarray(em.centers)[0]
+    # the visible part of the fixture is its lower dome, so the cluster
+    # centroid sits inside the ball, below the true center
+    assert np.linalg.norm(center - np.asarray(_LIGHT_POS)) < 1.5 * _LIGHT_RADIUS
+    assert 0.02 < float(em.radii[0]) < 3.0 * _LIGHT_RADIUS
+
+
+def test_carve_emitters_sdf():
+    """Emitter balls must read as free space for visibility: a light
+    embedded in the ceiling must not shadow its own illumination."""
+    def ceiling_sdf(p):  # solid above y=2 (a ceiling plane)
+        return 2.0 - p[..., 1]
+
+    centers = jnp.asarray([[0.0, 2.0, 0.0]])  # ON the ceiling surface
+    radii = jnp.asarray([0.3])
+    carved = carve_emitters_sdf(ceiling_sdf, centers, radii)
+
+    # inside the ball: free space; far free-space points: unchanged;
+    # solid points outside the ball: still occluders (negative)
+    inside = jnp.asarray([[0.0, 1.9, 0.0], [0.1, 2.05, 0.0]])
+    assert float(jnp.min(carved(inside))) > 0.0
+    free = jnp.asarray([[1.5, 0.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(carved(free)),
+                               np.asarray(ceiling_sdf(free)), atol=1e-6)
+    solid = jnp.asarray([[0.0, 2.5, 0.0], [1.0, 2.4, 0.0]])
+    assert float(jnp.max(carved(solid))) < 0.0
+
+    # visibility from the floor toward the embedded emitter's center:
+    # occluded under the raw SDF (the march reaches the emitting
+    # surface, min sdf -> 0), clear under the carved one
+    origin = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[0.0, 1.0, 0.0]])
+    t_max = jnp.asarray([2.0])  # to the ball center, ON the ceiling
+    raw = sphere_trace_visibility(ceiling_sdf, origin, d, t_max, n_steps=24)
+    crv = sphere_trace_visibility(carved, origin, d, t_max, n_steps=24)
+    assert float(raw[0]) == 0.0
+    assert float(crv[0]) == 1.0
 
 
 def test_incident_radiance_hits_emitter():
