@@ -123,10 +123,10 @@ def resolve_exp_dir(args, conf) -> str:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.jax_cache"))
-    import jax
+    from .utils.jax_cache import set_compilation_cache
+
+    set_compilation_cache()  # per-host subdir: stale cross-host CPU AOT
+    import jax               # entries crash natively (see jax_cache.py)
 
     if args.multihost:
         # must run before the first backend touch (jax.devices below)

@@ -87,6 +87,11 @@ class MaterialTrainConfig:
     # is the standard inverse-rendering relative-L2.
     relative_mse: bool = True
     relative_mse_eps: float = 0.1
+    # Newton-project baked points onto the frozen SDF's zero level-set
+    # (see project_to_surface) — volume-rendered depth is biased and
+    # points inside the surface lose all direct light to the visibility
+    # march
+    project_surface: bool = True
     # scale the initial emission so a probe render matches the observed
     # brightness per channel. The cluster-mean init (mean HDR of emitter
     # pixels) has the right CHROMA but an arbitrary radiometric scale —
@@ -142,6 +147,39 @@ def bake_image_geometry(params, render_image, uv, K, pose,
              & (jnp.linalg.norm(normals, axis=-1) > 0.5))
     return {"points": points, "normals": normals, "view_dirs": -units,
             "valid": valid}
+
+
+def project_to_surface(implicit_params, implicit_cfg, points,
+                       n_iters: int = 2, chunk: int = 8192):
+    """Newton-project points onto the SDF zero level-set:
+    p <- p - sdf(p) * grad / |grad|^2, twice.
+
+    Volume-rendered expected depth is biased off the surface (measured
+    on the editing demo's 400-step recon: 22% of baked points were
+    INSIDE the learned surface, mean |sdf| 0.058) — a visibility march
+    starting inside reads min-sdf < eps immediately, kills the point's
+    direct light, and the material fit dumps its energy into ambient.
+    One-off at bake time, so the XLA path is fine."""
+    import math
+
+    @jax.jit
+    def step(p):
+        s = mlp.sdf_vals(implicit_params, implicit_cfg, p)[:, 0]
+        g = mlp.sdf_gradient(implicit_params, implicit_cfg, p)
+        denom = jnp.maximum(jnp.sum(g * g, -1), 1e-6)
+        return p - (s / denom)[:, None] * g
+
+    out = []
+    n = points.shape[0]
+    pad_to = chunk * max(1, math.ceil(n / chunk))
+    p = jnp.pad(jnp.asarray(points, jnp.float32),
+                ((0, pad_to - n), (0, 0)))
+    for s0 in range(0, pad_to, chunk):
+        c = p[s0:s0 + chunk]
+        for _ in range(n_iters):
+            c = step(c)
+        out.append(np.asarray(c))
+    return jnp.asarray(np.concatenate(out)[:n])
 
 
 def bake_geometry(params, render_image, data: MaterialData,
@@ -408,6 +446,11 @@ class MaterialTrainer:
             min_weight_sum=self.tcfg.min_weight_sum)
         print(f"[material] baked {int(self.buffers['points'].shape[0])} "
               "surface samples")
+
+        if self.tcfg.project_surface:
+            self.buffers["points"] = project_to_surface(
+                recon_params["implicit"], model_cfg.implicit,
+                self.buffers["points"])
 
         # emitting surfaces are not material-fit targets — their pixels
         # show emission, not reflected light. Drop baked points inside

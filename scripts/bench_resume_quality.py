@@ -30,8 +30,9 @@ def main():
                     help="override train.batch_size (CPU smoke tests)")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.jax_cache"))
+    from i2sdf_tpu.utils.jax_cache import set_compilation_cache
+
+    set_compilation_cache()  # per-host subdir (stale cross-host CPU AOT crashes)
     import jax
     import jax.numpy as jnp
 

@@ -28,8 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.jax_cache"))
+    from i2sdf_tpu.utils.jax_cache import set_compilation_cache
+
+    set_compilation_cache()  # per-host subdir (stale cross-host CPU AOT crashes)
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -26,6 +26,29 @@ def empty_sdf(p):
     return jnp.full(p.shape[:1], 10.0)
 
 
+def test_project_to_surface_reduces_sdf():
+    """Newton projection must pull points (far) closer to the zero
+    level-set of the implicit net."""
+    from i2sdf_tpu.models import mlp
+    from i2sdf_tpu.train.material import project_to_surface
+
+    icfg = mlp.ImplicitNetConfig(
+        feature_vector_size=16, sdf_bounding_sphere=4.0, d_in=3,
+        dims=(32, 32, 32), skip_in=(1,), geometric_init=True, bias=0.6,
+        embed_type="positional", multires=2)
+    params = mlp.implicit_net_init(jax.random.PRNGKey(0), icfg)
+    # geometric init ~ sphere of radius `bias`: points near it project
+    # onto it
+    pts = jax.random.normal(jax.random.PRNGKey(1), (300, 3)) * 0.8
+    before = np.abs(np.asarray(mlp.sdf_vals(params, icfg, pts)[:, 0]))
+    proj = project_to_surface(params, icfg, pts, chunk=128)
+    after = np.abs(np.asarray(mlp.sdf_vals(params, icfg, proj)[:, 0]))
+    assert proj.shape == pts.shape
+    assert np.isfinite(np.asarray(proj)).all()
+    assert after.mean() < 0.2 * before.mean()
+    assert np.median(after) < 1e-3
+
+
 def test_material_net_shapes_and_ranges():
     cfg = MaterialNetConfig(dims=(32, 32), multires=2)
     params = material_net_init(jax.random.PRNGKey(0), cfg)
