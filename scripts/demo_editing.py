@@ -127,7 +127,7 @@ def main():
     # ---- stage 3: relight, original vs edited light ------------------------
     res_orig = run_relight(recon_params, cfg_eval, conf,
                            os.path.join(args.out, "orig"),
-                           data_root=data_root, indices=[0], spp=4,
+                           data_root=data_root, indices=[0], spp=16,
                            chunk=1024, vis_steps=12, fused=False,
                            material=material)
     blue = Emitters(mt.emitters.centers, mt.emitters.radii,
@@ -135,16 +135,20 @@ def main():
                     * np.asarray([[0.3, 0.5, 2.0]], np.float32))
     res_edit = run_relight(recon_params, cfg_eval, conf,
                            os.path.join(args.out, "edited"),
-                           data_root=data_root, indices=[0], spp=4,
+                           data_root=data_root, indices=[0], spp=16,
                            chunk=1024, vis_steps=12, fused=False,
                            material=(mt.state.params, mt.mat_cfg, blue))
 
     # ---- panel -------------------------------------------------------------
     import cv2
 
+    from i2sdf_tpu.utils.imaging import linear_to_srgb
+
     H, W = 48, 64
-    gt = (ds.rgb_images[0].reshape(H, W, 3)[:, :, ::-1] * 255).astype(
-        np.uint8)
+    # display GT through the same transform the relit PNGs use
+    # (linear -> sRGB), or the comparison reads as a brightness mismatch
+    gt = (np.asarray(linear_to_srgb(ds.rgb_images[0])).reshape(
+        H, W, 3)[:, :, ::-1] * 255).astype(np.uint8)
 
     def load(p):
         return cv2.imread(p)
