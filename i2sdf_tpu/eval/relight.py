@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.recon import ReconData
-from ..data.relight import RelightData
+from ..data.relight import RelightData, RelightVideoData
 from ..models import mlp
 from ..models.rendering_layer import (RenderingLayerConfig, shade,  # noqa: F401 (shade re-exported for API compat)
                                       shade_emitters)
@@ -230,93 +230,87 @@ def make_incident_radiance_fn(sdf_fn, emitters: Emitters,
     return li
 
 
-def run_relight(params, model_cfg, conf, exp_dir: str,
-                data_root: str = "data", indices=None, spp: int = 16,
-                n_emitters: int = 1, emitter_scale: float = 1.0,
-                edit_conf: dict | None = None, fused: bool | None = None,
-                full_res: bool = False, chunk: int = 4096,
-                vis_steps: int = 32, seed: int = 0,
-                material=None) -> dict:
-    """Render relit images for every (or `indices`) viewpoint. Writes
-    `eval/relight/{tag}_relit.png|_diffuse.png|_specular.png` and
-    returns the emitter summary.
+class _RelightContext:
+    """Shared setup for the relight renderers: emitter set, eval render
+    fn, jitted NEE shading chunk, and (optionally) the trained material
+    stage."""
 
-    `material` (optional): a `(mat_params, MaterialNetConfig, Emitters)`
-    triple from `train.material.load_material_stage` — kd/ks/roughness
-    come from the LEARNED field and emitters carry the LEARNED emission,
-    instead of the heuristic defaults (kd = rendered color, dielectric
-    ks). This is the full recon -> material -> edit pipeline."""
-    dataset_conf = dict(conf.dataset)
-    scan_id = dataset_conf.pop("scan_id", 0)
-    ds = dataset_conf.pop("downsample", 1)  # always pop: also passed
-    downsample = 1 if full_res else ds      # explicitly below
-    dataset_conf.pop("data_root", None)
+    def __init__(self, params, model_cfg, conf, data_root, n_emitters,
+                 emitter_scale, spp, vis_steps, fused, material,
+                 full_res=False):
+        self.params = params
+        self.model_cfg = model_cfg
+        dataset_conf = dict(conf.dataset)
+        self.scan_id = dataset_conf.pop("scan_id", 0)
+        ds = dataset_conf.pop("downsample", 1)  # always pop: also
+        self.downsample = 1 if full_res else ds  # passed explicitly
+        dataset_conf.pop("data_root", None)
+        self.dataset_conf = dataset_conf
+        self.data_root = data_root
 
-    if material is not None:
-        mat_params, mat_cfg, emitters = material
-        print(f"[relight] using trained material stage; {emitters.count} "
-              "emitters with learned emission")
-    else:
-        rd = ReconData(scan_id=scan_id, data_root=data_root,
-                       use_depth=True, use_normal=False, use_bubble=False,
-                       use_lightmask=True,
-                       **{k: v for k, v in dataset_conf.items()
-                          if k in ("data_dir", "img_res")})
-        emitters = find_emitters(rd, n_emitters=n_emitters,
-                                 emitter_scale=emitter_scale)
-    print(f"[relight] {emitters.count} emitters; centers="
-          f"{np.round(np.asarray(emitters.centers), 3).tolist()}")
+        if material is not None:
+            self.mat_params, self.mat_cfg, self.emitters = material
+            print("[relight] using trained material stage; "
+                  f"{self.emitters.count} emitters with learned emission")
+        else:
+            self.mat_params = self.mat_cfg = None
+            rd = ReconData(scan_id=self.scan_id, data_root=data_root,
+                           use_depth=True, use_normal=False,
+                           use_bubble=False, use_lightmask=True,
+                           **{k: v for k, v in dataset_conf.items()
+                              if k in ("data_dir", "img_res")})
+            self.emitters = find_emitters(rd, n_emitters=n_emitters,
+                                          emitter_scale=emitter_scale)
+        print(f"[relight] {self.emitters.count} emitters; centers="
+              f"{np.round(np.asarray(self.emitters.centers), 3).tolist()}")
 
-    pd = RelightData(scan_id=scan_id, data_root=data_root,
-                     downsample=downsample, indices=indices, plot_nimgs=-1,
-                     edit_conf=edit_conf, **dataset_conf)
+        self.render_image, _ = make_eval_render_fn(
+            model_cfg, chunk_size=conf.train.get("split_n_pixels", 12000),
+            fused_sampler=fused)
 
-    render_image, _ = make_eval_render_fn(
-        model_cfg, chunk_size=conf.train.get("split_n_pixels", 12000),
-        fused_sampler=fused)
+        def sdf_fn(pts):
+            return mlp.sdf_vals(params["implicit"], model_cfg.implicit,
+                                pts)[:, 0]
 
-    def sdf_fn(pts):
-        return mlp.sdf_vals(params["implicit"], model_cfg.implicit,
-                            pts)[:, 0]
+        vis_sdf = carve_emitters_sdf(sdf_fn, self.emitters.centers,
+                                     self.emitters.radii)
 
-    vis_sdf = carve_emitters_sdf(sdf_fn, emitters.centers, emitters.radii)
+        def vis_fn(pts, dirs, t_max):
+            return sphere_trace_visibility(vis_sdf, pts, dirs, t_max,
+                                           n_steps=vis_steps)
 
-    def vis_fn(pts, dirs, t_max):
-        return sphere_trace_visibility(vis_sdf, pts, dirs, t_max,
-                                       n_steps=vis_steps)
+        # learned ambient irradiance (indirect-light approximation) when
+        # a trained material stage is supplied; zero otherwise
+        if material is not None:
+            from ..models.material import ambient_apply
 
-    # learned ambient irradiance (indirect-light approximation) when a
-    # trained material stage is supplied; zero otherwise
-    if material is not None:
-        from ..models.material import ambient_apply
+            ambient = ambient_apply(self.mat_params["emission"])
+        else:
+            ambient = jnp.zeros((3,), jnp.float32)
+        layer_cfg = RenderingLayerConfig(spp=spp)
+        emitters = self.emitters
 
-        ambient = ambient_apply(mat_params["emission"])
-    else:
-        ambient = jnp.zeros((3,), jnp.float32)
-    layer_cfg = RenderingLayerConfig(spp=spp)
+        @jax.jit
+        def shade_chunk(key, pts, normals, view_dirs, kd, ks, rough):
+            # next-event estimation (shade_emitters): guaranteed emitter
+            # hits — far lower variance than BRDF sampling at equal spp
+            # for compact lights (measured ~450x at spp 8)
+            out = shade_emitters(layer_cfg, key, pts, normals, view_dirs,
+                                 kd, ks, rough, emitters.centers,
+                                 emitters.radii, emitters.radiance,
+                                 visibility_fn=vis_fn)
+            out["color_diffuse"] = (out["color_diffuse"]
+                                    + kd * ambient[None])
+            return out
 
-    @jax.jit
-    def shade_chunk(key, pts, normals, view_dirs, kd, ks, rough):
-        # next-event estimation (shade_emitters): guaranteed emitter
-        # hits — far lower variance than BRDF sampling at equal spp for
-        # compact lights (measured ~450x at spp 8)
-        out = shade_emitters(layer_cfg, key, pts, normals, view_dirs,
-                             kd, ks, rough, emitters.centers,
-                             emitters.radii, emitters.radiance,
-                             visibility_fn=vis_fn)
-        out["color_diffuse"] = out["color_diffuse"] + kd * ambient[None]
-        return out
+        self.shade_chunk = shade_chunk
 
-    out_dir = os.path.join(exp_dir, "eval", "relight")
-    os.makedirs(out_dir, exist_ok=True)
-    H, W = pd.img_res
-    key = jax.random.PRNGKey(seed)
-    ids = indices if indices is not None else range(pd.n_images)
-    results = []
-    for row, idx in enumerate(ids):
-        uv, K, pose, _ = pd.image_inputs(row)
-        out = render_image(params, jnp.asarray(uv), jnp.asarray(K),
-                           jnp.asarray(pose))
+    def shade_view(self, pd, uv, K, pose, key, chunk):
+        """Extract surface geometry for one camera, apply (edited)
+        materials, and shade. Returns (relit, diffuse, specular) flat
+        (HW, 3) arrays in linear radiance."""
+        out = self.render_image(self.params, jnp.asarray(uv),
+                                jnp.asarray(K), jnp.asarray(pose))
         ray_dirs, cam_loc = get_camera_params(
             jnp.asarray(uv)[None], jnp.asarray(pose)[None],
             jnp.asarray(K)[None])
@@ -327,11 +321,11 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
         view_dirs = -units  # toward the camera
         normals = out["normal_map"].reshape(-1, 3)
 
-        if material is not None:
+        if self.mat_params is not None:
             from ..models.material import material_net_apply
 
-            mats = material_net_apply(mat_params["material"], mat_cfg,
-                                      jnp.asarray(pts))
+            mats = material_net_apply(self.mat_params["material"],
+                                      self.mat_cfg, jnp.asarray(pts))
             kd = np.asarray(mats["kd"])
             ks = np.asarray(mats["ks"])
             rough = np.asarray(mats["rough"]).astype(np.float32)
@@ -361,10 +355,10 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
                 a = jnp.asarray(a[sl], jnp.float32)
                 return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
-            o = shade_chunk(k, padded(np.asarray(pts)),
-                            padded(np.asarray(normals)),
-                            padded(np.asarray(view_dirs)),
-                            padded(kd), padded(ks), padded(rough))
+            o = self.shade_chunk(k, padded(np.asarray(pts)),
+                                 padded(np.asarray(normals)),
+                                 padded(np.asarray(view_dirs)),
+                                 padded(kd), padded(ks), padded(rough))
             diff[sl] = np.asarray(o["color_diffuse"])[: e - s]
             spec[sl] = np.asarray(o["color_specular"])[: e - s]
 
@@ -372,12 +366,50 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
         # emitting surfaces render at their (edited) emission — a pixel
         # on the fixture shows the light itself, not a shaded material
         P = np.asarray(pts)
-        for e in range(emitters.count):
+        for e in range(self.emitters.count):
             on_emitter = (np.linalg.norm(
-                P - np.asarray(emitters.centers)[e], axis=-1)
-                < float(np.asarray(emitters.radii)[e]) + 0.05)
-            relit = np.where(on_emitter[:, None],
-                             np.asarray(emitters.radiance)[e][None], relit)
+                P - np.asarray(self.emitters.centers)[e], axis=-1)
+                < float(np.asarray(self.emitters.radii)[e]) + 0.05)
+            relit = np.where(
+                on_emitter[:, None],
+                np.asarray(self.emitters.radiance)[e][None], relit)
+        return relit, diff, spec
+
+
+def run_relight(params, model_cfg, conf, exp_dir: str,
+                data_root: str = "data", indices=None, spp: int = 16,
+                n_emitters: int = 1, emitter_scale: float = 1.0,
+                edit_conf: dict | None = None, fused: bool | None = None,
+                full_res: bool = False, chunk: int = 4096,
+                vis_steps: int = 32, seed: int = 0,
+                material=None) -> dict:
+    """Render relit images for every (or `indices`) viewpoint. Writes
+    `eval/relight/{tag}_relit.png|_diffuse.png|_specular.png` and
+    returns the emitter summary.
+
+    `material` (optional): a `(mat_params, MaterialNetConfig, Emitters)`
+    triple from `train.material.load_material_stage` — kd/ks/roughness
+    come from the LEARNED field and emitters carry the LEARNED emission,
+    instead of the heuristic defaults (kd = rendered color, dielectric
+    ks). This is the full recon -> material -> edit pipeline."""
+    ctx = _RelightContext(params, model_cfg, conf, data_root, n_emitters,
+                          emitter_scale, spp, vis_steps, fused, material,
+                          full_res=full_res)
+    pd = RelightData(scan_id=ctx.scan_id, data_root=data_root,
+                     downsample=ctx.downsample, indices=indices,
+                     plot_nimgs=-1, edit_conf=edit_conf,
+                     **ctx.dataset_conf)
+
+    out_dir = os.path.join(exp_dir, "eval", "relight")
+    os.makedirs(out_dir, exist_ok=True)
+    H, W = pd.img_res
+    key = jax.random.PRNGKey(seed)
+    ids = indices if indices is not None else range(pd.n_images)
+    results = []
+    for row, idx in enumerate(ids):
+        uv, K, pose, _ = pd.image_inputs(row)
+        key, k = jax.random.split(key)
+        relit, diff, spec = ctx.shade_view(pd, uv, K, pose, k, chunk)
         tag = f"{idx:04d}"
         for name, img in (("relit", relit), ("diffuse", diff),
                           ("specular", spec)):
@@ -387,5 +419,52 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
         results.append({"idx": idx, "mean_radiance": float(relit.mean())})
         print(f"[relight {tag}] mean={relit.mean():.4f}")
 
-    return {"emitters": emitters.count, "images": results,
+    return {"emitters": ctx.emitters.count, "images": results,
             "out_dir": out_dir}
+
+
+def run_relight_video(params, model_cfg, conf, exp_dir: str,
+                      id0: int = 0, id1: int = 1, n_frames: int = 60,
+                      frame_rate: int = 24, data_root: str = "data",
+                      spp: int = 16, n_emitters: int = 1,
+                      emitter_scale: float = 1.0,
+                      edit_conf: dict | None = None,
+                      fused: bool | None = None, chunk: int = 4096,
+                      vis_steps: int = 32, seed: int = 0,
+                      material=None) -> dict:
+    """Relit flythrough between two training poses (the reference's
+    RelightVideoDataset, `/root/reference/dataset/eval_dataset.py:341-374`,
+    driven by a renderer its editing branch never shipped): slerp+lerp
+    interpolated cameras, each frame surface-extracted and NEE-shaded
+    under the (edited) emitters, assembled to mp4 when ffmpeg exists."""
+    from .interpolate import frames_to_video
+
+    ctx = _RelightContext(params, model_cfg, conf, data_root, n_emitters,
+                          emitter_scale, spp, vis_steps, fused, material)
+    pd = RelightVideoData(scan_id=ctx.scan_id, data_root=data_root,
+                          downsample=ctx.downsample, plot_nimgs=-1,
+                          edit_conf=edit_conf, id0=id0, id1=id1,
+                          num_frames=n_frames, **ctx.dataset_conf)
+
+    frame_dir = os.path.join(exp_dir, "eval", "relight_video",
+                             f"{id0:04d}_{id1:04d}")
+    os.makedirs(frame_dir, exist_ok=True)
+    H, W = pd.img_res
+    key = jax.random.PRNGKey(seed)
+    means = []
+    for i in range(pd.num_frames):
+        uv, K, pose = pd.frame_inputs(i)
+        key, k = jax.random.split(key)
+        relit, _, _ = ctx.shade_view(pd, uv, K, pose, k, chunk)
+        artifacts.write_rgb(
+            os.path.join(frame_dir, f"{i:04d}.png"),
+            np.clip(linear_to_srgb(relit.reshape(H, W, 3)), 0, 1))
+        means.append(float(relit.mean()))
+        print(f"[relight-video {i + 1}/{pd.num_frames}] "
+              f"mean={means[-1]:.4f}")
+    mp4 = os.path.join(exp_dir, "eval", "relight_video",
+                       f"relight_{id0:04d}_{id1:04d}.mp4")
+    wrote_video = frames_to_video(frame_dir, mp4, frame_rate)
+    return {"emitters": ctx.emitters.count, "frames": pd.num_frames,
+            "frame_dir": frame_dir, "mean_radiance": means,
+            "mp4": mp4 if wrote_video else None}

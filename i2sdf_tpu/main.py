@@ -17,12 +17,15 @@ Usage:
         --inter_id 3 14
     python -m i2sdf_tpu.main --conf ... --test --test_mode relight \
         --spp 16 --n_emitters 1 [--edit_conf edits.yml]
+    python -m i2sdf_tpu.main --conf ... --test --test_mode relight_video \
+        --inter_id 0 3 --n_frames 60 [--use_material]
 
-`relight` goes BEYOND the reference CLI (its editing branch was never
-released; `model/rendering/__init__.py:42` calls an undefined
-`get_incident_radiance`): here the pipeline is completed with
-light-mask emitter clustering and sphere-traced visibility
-(eval/relight.py).
+`relight` / `relight_video` go BEYOND the reference CLI (its editing
+branch was never released; `model/rendering/__init__.py:42` calls an
+undefined `get_incident_radiance`, and RelightVideoDataset
+`dataset/eval_dataset.py:341-374` has no driver): here the pipeline is
+completed with light-mask emitter clustering, sphere-traced visibility,
+and interpolated-pose relit flythroughs (eval/relight.py).
 """
 
 from __future__ import annotations
@@ -43,7 +46,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_root", default="data")
     p.add_argument("--test", action="store_true")
     p.add_argument("--test_mode", default="render",
-                   choices=["render", "mesh", "interpolate", "relight"])
+                   choices=["render", "mesh", "interpolate", "relight",
+                            "relight_video"])
     p.add_argument("--version", type=int, default=None)
     p.add_argument("--inter_id", type=int, nargs=2, default=[0, 1])
     p.add_argument("--indices", type=int, nargs="*", default=None)
@@ -209,8 +213,8 @@ def main(argv=None) -> int:
                           n_frames=args.n_frames,
                           frame_rate=args.frame_rate,
                           data_root=args.data_root, fused=fused)
-    elif args.test_mode == "relight":
-        from .eval.relight import run_relight
+    elif args.test_mode in ("relight", "relight_video"):
+        from .eval.relight import run_relight, run_relight_video
 
         edit_conf = None
         if args.edit_conf:
@@ -223,13 +227,24 @@ def main(argv=None) -> int:
             from .train.material import load_material_stage
 
             material = load_material_stage(exp_dir, conf)
-        run_relight(params, model_cfg, conf, exp_dir,
-                    data_root=args.data_root, indices=args.indices,
-                    spp=args.spp, n_emitters=args.n_emitters,
-                    emitter_scale=args.emitter_scale,
-                    edit_conf=edit_conf, fused=fused,
-                    full_res=args.full_res, seed=args.seed,
-                    material=material)
+        if args.test_mode == "relight_video":
+            run_relight_video(params, model_cfg, conf, exp_dir,
+                              id0=args.inter_id[0], id1=args.inter_id[1],
+                              n_frames=args.n_frames,
+                              frame_rate=args.frame_rate,
+                              data_root=args.data_root, spp=args.spp,
+                              n_emitters=args.n_emitters,
+                              emitter_scale=args.emitter_scale,
+                              edit_conf=edit_conf, fused=fused,
+                              seed=args.seed, material=material)
+        else:
+            run_relight(params, model_cfg, conf, exp_dir,
+                        data_root=args.data_root, indices=args.indices,
+                        spp=args.spp, n_emitters=args.n_emitters,
+                        emitter_scale=args.emitter_scale,
+                        edit_conf=edit_conf, fused=fused,
+                        full_res=args.full_res, seed=args.seed,
+                        material=material)
     return 0
 
 

@@ -175,3 +175,12 @@ def test_relight_mode(workdir, trained):
     assert (out / "0000_relit.png").exists()
     assert (out / "0000_diffuse.png").exists()
     assert (out / "0000_specular.png").exists()
+
+
+def test_relight_video_mode(workdir, trained):
+    run_cli(workdir, "--version", "0", "--test", "--test_mode",
+            "relight_video", "--inter_id", "0", "2", "--n_frames", "3",
+            "--spp", "2", "--n_emitters", "1")
+    out = trained / "eval" / "relight_video" / "0000_0002"
+    for i in range(3):
+        assert (out / f"{i:04d}.png").exists()

@@ -157,6 +157,32 @@ def test_run_relight_end_to_end(scene, tmp_path):
     assert np.isfinite(img)
 
 
+def test_run_relight_video_end_to_end(scene, tmp_path):
+    """relight_video: interpolated-pose relit flythrough (the
+    reference's RelightVideoDataset has no driver; this one does)."""
+    from i2sdf_tpu.eval.relight import run_relight_video
+
+    node = CfgNode({
+        "train": {"split_n_pixels": 512},
+        "dataset": {"data_dir": "demo", "img_res": [20, 24],
+                    "downsample": 1},
+        "model": dict(TINY_MODEL),
+    })
+    model_node = node.model
+    model_node.use_normal = False
+    cfg = renderer.I2SDFConfig.from_cfgnode(model_node)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    res = run_relight_video(params, cfg, node, str(tmp_path),
+                            data_root=scene, id0=0, id1=2, n_frames=3,
+                            spp=2, n_emitters=1, chunk=256, vis_steps=4,
+                            fused=False)
+    assert res["frames"] == 3
+    for i in range(3):
+        assert os.path.exists(os.path.join(res["frame_dir"],
+                                           f"{i:04d}.png"))
+    assert np.isfinite(res["mean_radiance"]).all()
+
+
 def test_run_relight_full_res_with_downsample_conf(scene, tmp_path):
     """Regression (ADVICE r1): with dataset.downsample set in the conf,
     --full_res used to pass 'downsample' twice into RelightData and
