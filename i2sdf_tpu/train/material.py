@@ -488,14 +488,22 @@ class MaterialTrainer:
         # visibility tracing evaluates the frozen SDF spp*vis_steps times
         # per batch point — on TPU it rides the fused Pallas MLP kernel
         # (same fast path the sampler and mesher use); CPU keeps XLA
-        frozen = jax.lax.stop_gradient(recon_params["implicit"])
+        frozen_implicit = recon_params["implicit"]
+        if self.mesh is not None:
+            # the jitted step closes over these as constants; without
+            # replication they stay on device 0 while the batch shards
+            # over the mesh -> "incompatible devices" at trace time
+            from ..parallel import replicate_params
+
+            frozen_implicit = replicate_params(self.mesh, frozen_implicit)
+        frozen = jax.lax.stop_gradient(frozen_implicit)
         implicit_cfg = model_cfg.implicit
         use_fused = (fused if fused is not None
                      else jax.default_backend() not in ("cpu",))
         if use_fused:
             from ..ops.pallas.fused_mlp import fused_sdf_fn
 
-            sdf_fn = fused_sdf_fn(recon_params["implicit"], implicit_cfg)
+            sdf_fn = fused_sdf_fn(frozen_implicit, implicit_cfg)
         else:
             def sdf_fn(pts):
                 return mlp.sdf_vals(frozen, implicit_cfg, pts)[:, 0]

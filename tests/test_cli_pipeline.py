@@ -64,6 +64,12 @@ TINY_CONF = {
             "max_total_iters": 2,
         },
     },
+    "material": {
+        "steps": 4, "batch_size": 128, "spp": 2, "vis_steps": 4,
+        "n_emitters": 1, "plot_freq": 0, "checkpoint_freq": 0,
+        "min_weight_sum": 0.05,
+        "material_network": {"dims": [32, 32], "multires": 2},
+    },
 }
 
 
@@ -175,6 +181,19 @@ def test_relight_mode(workdir, trained):
     assert (out / "0000_relit.png").exists()
     assert (out / "0000_diffuse.png").exists()
     assert (out / "0000_specular.png").exists()
+
+
+def test_material_stage_then_use_material(workdir, trained):
+    """The full editing chain through the real CLI: --material trains
+    the intrinsic-decomposition stage on the recon checkpoint, then
+    relight --use_material shades with the learned field + emission."""
+    run_cli(workdir, "--version", "0", "--material")
+    mat = trained / "material"
+    assert (mat / "emitters.npz").exists()
+    assert (mat / "checkpoints" / "orbax").exists()
+    run_cli(workdir, "--version", "0", "--test", "--test_mode", "relight",
+            "--use_material", "--indices", "0", "--spp", "2")
+    assert (trained / "eval" / "relight" / "0000_relit.png").exists()
 
 
 def test_relight_video_mode(workdir, trained):
