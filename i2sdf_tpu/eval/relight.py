@@ -158,7 +158,14 @@ def sphere_trace_visibility(sdf_fn, origins, dirs, t_max,
     return (min_s > eps).astype(jnp.float32)
 
 
-def carve_emitters_sdf(sdf_fn, centers, radii, margin: float = 0.05):
+# shared emitter-ball margin: carve_emitters_sdf's free-space shell and
+# the material trainer's baked-point exclusion must agree, or boundary
+# points end up trained with self-shadowed visibility
+EMITTER_MARGIN = 0.05
+
+
+def carve_emitters_sdf(sdf_fn, centers, radii,
+                       margin: float = EMITTER_MARGIN):
     """Wrap `sdf_fn` so the inside of every emitter ball (plus `margin`)
     reads as FREE SPACE for visibility tracing.
 
@@ -364,12 +371,15 @@ class _RelightContext:
 
         relit = diff + spec
         # emitting surfaces render at their (edited) emission — a pixel
-        # on the fixture shows the light itself, not a shaded material
+        # on the fixture shows the light itself, not a shaded material.
+        # Painted at the EXACT cluster radius (no margin): cluster radii
+        # already tend to overestimate the physical fixture, and every
+        # painted pixel shows as a flat emission-colored blob
         P = np.asarray(pts)
         for e in range(self.emitters.count):
             on_emitter = (np.linalg.norm(
                 P - np.asarray(self.emitters.centers)[e], axis=-1)
-                < float(np.asarray(self.emitters.radii)[e]) + 0.05)
+                < float(np.asarray(self.emitters.radii)[e]))
             relit = np.where(
                 on_emitter[:, None],
                 np.asarray(self.emitters.radiance)[e][None], relit)
@@ -429,7 +439,8 @@ def run_relight_video(params, model_cfg, conf, exp_dir: str,
                       spp: int = 16, n_emitters: int = 1,
                       emitter_scale: float = 1.0,
                       edit_conf: dict | None = None,
-                      fused: bool | None = None, chunk: int = 4096,
+                      fused: bool | None = None, full_res: bool = False,
+                      chunk: int = 4096,
                       vis_steps: int = 32, seed: int = 0,
                       material=None) -> dict:
     """Relit flythrough between two training poses (the reference's
@@ -440,7 +451,8 @@ def run_relight_video(params, model_cfg, conf, exp_dir: str,
     from .interpolate import frames_to_video
 
     ctx = _RelightContext(params, model_cfg, conf, data_root, n_emitters,
-                          emitter_scale, spp, vis_steps, fused, material)
+                          emitter_scale, spp, vis_steps, fused, material,
+                          full_res=full_res)
     pd = RelightVideoData(scan_id=ctx.scan_id, data_root=data_root,
                           downsample=ctx.downsample, plot_nimgs=-1,
                           edit_conf=edit_conf, id0=id0, id1=id1,

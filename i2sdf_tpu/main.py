@@ -236,6 +236,7 @@ def main(argv=None) -> int:
                               n_emitters=args.n_emitters,
                               emitter_scale=args.emitter_scale,
                               edit_conf=edit_conf, fused=fused,
+                              full_res=args.full_res,
                               seed=args.seed, material=material)
         else:
             run_relight(params, model_cfg, conf, exp_dir,

@@ -451,21 +451,39 @@ class MaterialTrainer:
             self.buffers["points"] = project_to_surface(
                 recon_params["implicit"], model_cfg.implicit,
                 self.buffers["points"])
+            # validation renders (render_material_maps) shade the same
+            # per-image points — they need the projection too, or the
+            # val PSNR suffers the exact inside-surface visibility
+            # collapse the projection fixes for training
+            for g in self.per_image:
+                g["points"] = np.asarray(project_to_surface(
+                    recon_params["implicit"], model_cfg.implicit,
+                    jnp.asarray(g["points"])))
 
         # emitting surfaces are not material-fit targets — their pixels
         # show emission, not reflected light. Drop baked points inside
-        # any emitter ball (+ margin, matching carve_emitters_sdf).
-        pts_np = np.asarray(self.buffers["points"])
-        keep = np.ones(pts_np.shape[0], bool)
-        for e in range(self.emitters.count):
-            keep &= (np.linalg.norm(
-                pts_np - np.asarray(self.emitters.centers)[e], axis=-1)
-                > float(np.asarray(self.emitters.radii)[e]) + 0.05)
+        # any emitter ball (+ margin, matching carve_emitters_sdf), and
+        # mark them invalid for the validation maps/PSNR.
+        from ..eval.relight import EMITTER_MARGIN
+
+        def _outside_emitters(pts):
+            keep = np.ones(pts.shape[0], bool)
+            for e in range(self.emitters.count):
+                keep &= (np.linalg.norm(
+                    pts - np.asarray(self.emitters.centers)[e], axis=-1)
+                    > float(np.asarray(self.emitters.radii)[e])
+                    + EMITTER_MARGIN)
+            return keep
+
+        keep = _outside_emitters(np.asarray(self.buffers["points"]))
         if not keep.all():
             self.buffers = {k: jnp.asarray(np.asarray(v)[keep])
                             for k, v in self.buffers.items()}
             print(f"[material] excluded {int((~keep).sum())} "
                   "emitter-surface samples from the fit")
+        for g in self.per_image:
+            g["valid"] = g["valid"] & _outside_emitters(
+                np.asarray(g["points"]))
 
         self.key, k_init = jax.random.split(self.key)
         params = {

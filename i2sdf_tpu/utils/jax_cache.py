@@ -42,7 +42,13 @@ def set_compilation_cache(base: str | None = None) -> str:
                               os.path.join("~", ".jax_cache"))
     path = os.path.join(os.path.expanduser(base),
                         f"host-{host_signature()}")
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError as e:
+        # the cache is an optimization: an unwritable location (read-only
+        # $HOME, restricted CI) must not abort the entry point
+        print(f"[WARN] compilation cache disabled ({e})")
+        return ""
     import jax
 
     jax.config.update("jax_compilation_cache_dir", path)

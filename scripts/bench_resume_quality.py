@@ -7,7 +7,7 @@ time with the per-ray compacted sampler off and on. This is the honest
 "sustained" number to report next to the early/mid-regime bench.py peak
 (VERDICT r1 weak #2).
 
-Usage (real TPU): JAX_COMPILATION_CACHE_DIR=~/.jax_cache \
+Usage (real TPU; cache set up automatically, env var overrides base): \
     python scripts/bench_resume_quality.py [--steps 100] [--exp ...]
 """
 

@@ -13,7 +13,7 @@ decade (from the quality-run TB beta curve: beta passes 0.05 by ~2k
 steps, 0.02 by ~8k, 0.005 by ~35k, so ~80% of the schedule runs at
 beta < 5e-3).
 
-Usage (real TPU): JAX_COMPILATION_CACHE_DIR=~/.jax_cache \
+Usage (real TPU; cache set up automatically, env var overrides base): \
     python scripts/bench_schedule.py [--steps 20]
 """
 

@@ -8,7 +8,9 @@ Mosaic-lowered kernel under shade's spp-vmap — the one lowering CPU
 interpret mode cannot prove). Asserts the loss is finite and decreasing
 and prints one JSON line.
 
-Usage: JAX_COMPILATION_CACHE_DIR=~/.jax_cache python scripts/tpu_material_check.py
+Usage: python scripts/tpu_material_check.py  (compilation cache is
+set up automatically under a per-host subdir; JAX_COMPILATION_CACHE_DIR
+overrides the BASE directory)
 """
 
 import json
