@@ -65,8 +65,10 @@ TINY_CONF = {
         },
     },
     "material": {
+        # plot_freq 4 fires _write_plots once at the final step — the
+        # validation-map path must also work under the 8-device mesh
         "steps": 4, "batch_size": 128, "spp": 2, "vis_steps": 4,
-        "n_emitters": 1, "plot_freq": 0, "checkpoint_freq": 0,
+        "n_emitters": 1, "plot_freq": 4, "checkpoint_freq": 0,
         "min_weight_sum": 0.05,
         "material_network": {"dims": [32, 32], "multires": 2},
     },
