@@ -244,7 +244,7 @@ class _RelightContext:
 
     def __init__(self, params, model_cfg, conf, data_root, n_emitters,
                  emitter_scale, spp, vis_steps, fused, material,
-                 full_res=False):
+                 full_res=False, edit_conf=None):
         self.params = params
         self.model_cfg = model_cfg
         dataset_conf = dict(conf.dataset)
@@ -268,6 +268,19 @@ class _RelightContext:
                               if k in ("data_dir", "img_res")})
             self.emitters = find_emitters(rd, n_emitters=n_emitters,
                                           emitter_scale=emitter_scale)
+        # LIGHT edits from the edit config: `emission_scale` (scalar or
+        # per-channel [r,g,b]) rescales every emitter's radiance —
+        # recolor/dim/boost the light without touching materials. The
+        # material override maps in the same file are handled by
+        # RelightData; this is the emitter half of the paper's
+        # scene-editing story.
+        if edit_conf and edit_conf.get("emission_scale") is not None:
+            s = jnp.asarray(edit_conf["emission_scale"], jnp.float32)
+            self.emitters = Emitters(self.emitters.centers,
+                                     self.emitters.radii,
+                                     self.emitters.radiance * s)
+            print(f"[relight] emission_scale applied: "
+                  f"{np.asarray(s).tolist()}")
         print(f"[relight] {self.emitters.count} emitters; centers="
               f"{np.round(np.asarray(self.emitters.centers), 3).tolist()}")
 
@@ -404,7 +417,7 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
     ks). This is the full recon -> material -> edit pipeline."""
     ctx = _RelightContext(params, model_cfg, conf, data_root, n_emitters,
                           emitter_scale, spp, vis_steps, fused, material,
-                          full_res=full_res)
+                          full_res=full_res, edit_conf=edit_conf)
     pd = RelightData(scan_id=ctx.scan_id, data_root=data_root,
                      downsample=ctx.downsample, indices=indices,
                      plot_nimgs=-1, edit_conf=edit_conf,
@@ -452,7 +465,7 @@ def run_relight_video(params, model_cfg, conf, exp_dir: str,
 
     ctx = _RelightContext(params, model_cfg, conf, data_root, n_emitters,
                           emitter_scale, spp, vis_steps, fused, material,
-                          full_res=full_res)
+                          full_res=full_res, edit_conf=edit_conf)
     pd = RelightVideoData(scan_id=ctx.scan_id, data_root=data_root,
                           downsample=ctx.downsample, plot_nimgs=-1,
                           edit_conf=edit_conf, id0=id0, id1=id1,

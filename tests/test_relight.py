@@ -157,6 +157,39 @@ def test_run_relight_end_to_end(scene, tmp_path):
     assert np.isfinite(img)
 
 
+def test_emission_scale_edit(scene, tmp_path):
+    """edit_conf.emission_scale recolors/rescales the light: shading is
+    linear in emitter radiance, so doubling it doubles the relit image
+    (same seed, no ambient/material stage)."""
+    node = CfgNode({
+        "train": {"split_n_pixels": 512},
+        "dataset": {"data_dir": "demo", "img_res": [20, 24],
+                    "downsample": 1},
+        "model": dict(TINY_MODEL),
+    })
+    model_node = node.model
+    model_node.use_normal = False
+    cfg = renderer.I2SDFConfig.from_cfgnode(model_node)
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    from i2sdf_tpu.eval.relight import _RelightContext
+
+    base = _RelightContext(params, cfg, node, scene, 1, 1.0, 2, 4,
+                           False, None)
+    edited = _RelightContext(params, cfg, node, scene, 1, 1.0, 2, 4,
+                             False, None,
+                             edit_conf={"emission_scale": [1.0, 2.0, 0.5]})
+    np.testing.assert_allclose(
+        np.asarray(edited.emitters.radiance),
+        np.asarray(base.emitters.radiance) * np.asarray([[1.0, 2.0, 0.5]]),
+        rtol=1e-6)
+    # and the edited config renders end to end
+    res = run_relight(params, cfg, node, str(tmp_path),
+                      data_root=scene, indices=[0], spp=2, n_emitters=1,
+                      chunk=256, vis_steps=4, fused=False,
+                      edit_conf={"emission_scale": 2.0})
+    assert np.isfinite(res["images"][0]["mean_radiance"])
+
+
 def test_run_relight_video_end_to_end(scene, tmp_path):
     """relight_video: interpolated-pose relit flythrough (the
     reference's RelightVideoDataset has no driver; this one does)."""
