@@ -130,14 +130,14 @@ def main():
                            data_root=data_root, indices=[0], spp=16,
                            chunk=1024, vis_steps=12, fused=False,
                            material=material)
-    blue = Emitters(mt.emitters.centers, mt.emitters.radii,
-                    emission_apply(mt.state.params["emission"])
-                    * np.asarray([[0.3, 0.5, 2.0]], np.float32))
+    # the CLI-surface light edit: edit_conf.emission_scale recolors the
+    # learned emitters (same path as --edit_conf edits.yml)
     res_edit = run_relight(recon_params, cfg_eval, conf,
                            os.path.join(args.out, "edited"),
                            data_root=data_root, indices=[0], spp=16,
                            chunk=1024, vis_steps=12, fused=False,
-                           material=(mt.state.params, mt.mat_cfg, blue))
+                           edit_conf={"emission_scale": [0.3, 0.5, 2.0]},
+                           material=material)
 
     # ---- panel -------------------------------------------------------------
     import cv2
