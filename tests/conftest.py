@@ -40,9 +40,17 @@ if not _NEEDS_REEXEC:
         os.environ["JAX_PLATFORMS"] = "cpu"
         _flags = os.environ.get("XLA_FLAGS", "")
         if "xla_force_host_platform_device_count" not in _flags:
-            os.environ["XLA_FLAGS"] = (
-                _flags + " --xla_force_host_platform_device_count=8"
-            ).strip()
+            _flags = (_flags
+                      + " --xla_force_host_platform_device_count=8")
+        if "collective_call_terminate_timeout" not in _flags:
+            # 8 virtual device threads share this VM's oversubscribed
+            # vCPUs; XLA:CPU's default 40s collective rendezvous can
+            # trip when the host is descheduled mid-all-gather (seen
+            # once in a 28-min full-suite run) — raise it, this is a
+            # functional mesh, not a perf one
+            _flags += (" --xla_cpu_collective_call_terminate_timeout"
+                       "_seconds=300")
+        os.environ["XLA_FLAGS"] = _flags.strip()
 
     import jax
 
