@@ -99,8 +99,16 @@ def find_emitters(rd: ReconData, n_emitters: int = 1,
         pts, rgbs = collect(lambda i: lum[i] >= cut)
     if not pts:
         raise ValueError("no emitter pixels found; cannot build emitters")
-    pts = np.concatenate(pts)
-    rgbs = np.concatenate(rgbs)
+    return _cluster_emitters(np.concatenate(pts), np.concatenate(rgbs),
+                             n_emitters, emitter_scale, max_points, key)
+
+
+def _cluster_emitters(pts, rgbs, n_emitters, emitter_scale, max_points,
+                      key) -> Emitters:
+    """k-means the candidate emissive points into bounding-sphere
+    emitters: radius = 0.9-quantile distance to centroid, radiance =
+    mean pixel color (the cluster half shared by GT-mask and
+    model-predicted discovery)."""
     if len(pts) > max_points:
         idx = np.random.default_rng(0).permutation(len(pts))[:max_points]
         pts, rgbs = pts[idx], rgbs[idx]
@@ -156,6 +164,50 @@ def sphere_trace_visibility(sdf_fn, origins, dirs, t_max,
         (jnp.full(origins.shape[:1], t0),
          jnp.full(origins.shape[:1], jnp.inf)))
     return (min_s > eps).astype(jnp.float32)
+
+
+def find_emitters_from_model(params, render_image, pd, n_emitters: int = 1,
+                             emitter_scale: float = 1.0,
+                             mask_thresh: float = 0.5,
+                             max_points: int = 50_000,
+                             key=None) -> Emitters:
+    """Cluster emitters from the MODEL's own predictions: the trained
+    light-mask head marks emissive pixels and the rendered expected
+    depth unprojects them — no GT light masks or GT depth needed (the
+    reference's emitter plan, `model/network/__init__.py:49-75`, only
+    ever clustered GT-masked pixels). Requires a model built with a
+    `light_network`; `pd` is any dataset with `image_inputs`
+    (PlotData/RelightData). Radiance per emitter is the mean RENDERED
+    color of its pixels (times `emitter_scale`) — the same LDR-chroma
+    init find_emitters uses, refined by the material stage's emission
+    calibration when one is trained."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    pts, rgbs = [], []
+    for i in range(pd.n_images):
+        uv, K, pose, _ = pd.image_inputs(i)
+        out = render_image(params, jnp.asarray(uv), jnp.asarray(K),
+                           jnp.asarray(pose))
+        if "light_mask" not in out:
+            raise ValueError("find_emitters_from_model needs a model "
+                             "with a light_network head")
+        ray_dirs, cam_loc = get_camera_params(
+            jnp.asarray(uv)[None], jnp.asarray(pose)[None],
+            jnp.asarray(K)[None])
+        norms = jnp.linalg.norm(ray_dirs[0], axis=-1, keepdims=True)
+        units = ray_dirs[0] / jnp.maximum(norms, 1e-12)
+        dist = out["depth_values"].reshape(-1) * norms[:, 0]
+        p = cam_loc[0][None, :] + dist[:, None] * units
+        sel = (np.asarray(out["light_mask"]).reshape(-1) > mask_thresh)
+        sel &= np.asarray(out["weight_sum"]).reshape(-1) > 0.5
+        if sel.any():
+            pts.append(np.asarray(p)[sel])
+            rgbs.append(np.asarray(out["rgb_values"]).reshape(-1, 3)[sel])
+    if not pts:
+        raise ValueError(
+            "model predicts no emissive pixels above "
+            f"{mask_thresh} in any view (is the light head trained?)")
+    return _cluster_emitters(np.concatenate(pts), np.concatenate(rgbs),
+                             n_emitters, emitter_scale, max_points, key)
 
 
 # shared emitter-ball margin: carve_emitters_sdf's free-space shell and
@@ -255,19 +307,41 @@ class _RelightContext:
         self.dataset_conf = dataset_conf
         self.data_root = data_root
 
+        self.render_image, _ = make_eval_render_fn(
+            model_cfg, chunk_size=conf.train.get("split_n_pixels", 12000),
+            fused_sampler=fused)
+
         if material is not None:
             self.mat_params, self.mat_cfg, self.emitters = material
             print("[relight] using trained material stage; "
                   f"{self.emitters.count} emitters with learned emission")
         else:
             self.mat_params = self.mat_cfg = None
-            rd = ReconData(scan_id=self.scan_id, data_root=data_root,
-                           use_depth=True, use_normal=False,
-                           use_bubble=False, use_lightmask=True,
-                           **{k: v for k, v in dataset_conf.items()
-                              if k in ("data_dir", "img_res")})
-            self.emitters = find_emitters(rd, n_emitters=n_emitters,
-                                          emitter_scale=emitter_scale)
+            try:
+                rd = ReconData(scan_id=self.scan_id, data_root=data_root,
+                               use_depth=True, use_normal=False,
+                               use_bubble=False, use_lightmask=True,
+                               **{k: v for k, v in dataset_conf.items()
+                                  if k in ("data_dir", "img_res")})
+                self.emitters = find_emitters(
+                    rd, n_emitters=n_emitters,
+                    emitter_scale=emitter_scale)
+            except (ValueError, AssertionError, FileNotFoundError) as e:
+                # scans without GT light masks / depth: discover the
+                # emitters from the model's OWN light-mask head and
+                # rendered depth (needs a light_network model)
+                if model_cfg.light is None:
+                    raise
+                print(f"[relight] GT-mask emitter discovery failed "
+                      f"({e}); falling back to the model's light head")
+                from ..data.plot import PlotData
+
+                pd0 = PlotData(scan_id=self.scan_id, data_root=data_root,
+                               downsample=self.downsample, plot_nimgs=-1,
+                               **dataset_conf)
+                self.emitters = find_emitters_from_model(
+                    params, self.render_image, pd0,
+                    n_emitters=n_emitters, emitter_scale=emitter_scale)
         # LIGHT edits from the edit config: `emission_scale` (scalar or
         # per-channel [r,g,b]) rescales every emitter's radiance —
         # recolor/dim/boost the light without touching materials. The
@@ -283,10 +357,6 @@ class _RelightContext:
                   f"{np.asarray(s).tolist()}")
         print(f"[relight] {self.emitters.count} emitters; centers="
               f"{np.round(np.asarray(self.emitters.centers), 3).tolist()}")
-
-        self.render_image, _ = make_eval_render_fn(
-            model_cfg, chunk_size=conf.train.get("split_n_pixels", 12000),
-            fused_sampler=fused)
 
         def sdf_fn(pts):
             return mlp.sdf_vals(params["implicit"], model_cfg.implicit,

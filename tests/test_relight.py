@@ -157,6 +157,70 @@ def test_run_relight_end_to_end(scene, tmp_path):
     assert np.isfinite(img)
 
 
+def _light_model():
+    node = dict(TINY_MODEL)
+    node["light_network"] = {"dims": [16]}
+    cfg_node = CfgNode({
+        "train": {"split_n_pixels": 512},
+        "dataset": {"data_dir": "demo", "img_res": [20, 24],
+                    "downsample": 1},
+        "model": node,
+    })
+    model_node = cfg_node.model
+    model_node.use_normal = False
+    cfg = renderer.I2SDFConfig.from_cfgnode(model_node)
+    return cfg_node, cfg, renderer.init(jax.random.PRNGKey(0), cfg)
+
+
+def test_find_emitters_from_model(scene):
+    """Emitter discovery from the model's own light-mask head +
+    rendered depth (no GT masks/depth needed)."""
+    from i2sdf_tpu.data.plot import PlotData
+    from i2sdf_tpu.eval.relight import find_emitters_from_model
+    from i2sdf_tpu.train.step import make_eval_render_fn
+
+    _, cfg, params = _light_model()
+    render_image, _ = make_eval_render_fn(cfg, chunk_size=512,
+                                          fused_sampler=False)
+    pd = PlotData("demo", data_root=scene, plot_nimgs=-1)
+    # untrained light head hovers near 0.5 * weight_sum: use a low
+    # threshold so pixels qualify — this tests the machinery
+    em = find_emitters_from_model(params, render_image, pd,
+                                  n_emitters=1, mask_thresh=0.05)
+    assert em.count == 1
+    assert np.isfinite(np.asarray(em.centers)).all()
+    assert float(em.radii[0]) > 0
+
+
+def test_relight_falls_back_to_model_head(tmp_path, monkeypatch):
+    """A scan without GT light masks must route emitter discovery to
+    the model's light head (for light_network models)."""
+    import shutil
+
+    import i2sdf_tpu.eval.relight as rl
+
+    root = tmp_path / "root"
+    scan = generate_synthetic_scene(str(root / "demo"), n_images=3,
+                                    img_res=(20, 24))
+    shutil.rmtree(os.path.join(scan, "light_mask"))
+    shutil.rmtree(os.path.join(scan, "depth"))
+
+    node, cfg, params = _light_model()
+    called = {}
+
+    def fake(params_, render_image_, pd_, **kw):
+        called["hit"] = True
+        return rl.Emitters([[0.0, 1.8, 0.0]], [0.2], [[1.0, 1.0, 1.0]])
+
+    monkeypatch.setattr(rl, "find_emitters_from_model", fake)
+    res = rl.run_relight(params, cfg, node, str(tmp_path / "out"),
+                         data_root=str(root), indices=[0], spp=1,
+                         n_emitters=1, chunk=256, vis_steps=4,
+                         fused=False)
+    assert called.get("hit")
+    assert res["emitters"] == 1
+
+
 def test_emission_scale_edit(scene, tmp_path):
     """edit_conf.emission_scale recolors/rescales the light: shading is
     linear in emitter radiance, so doubling it doubles the relit image
