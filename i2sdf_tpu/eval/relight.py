@@ -168,7 +168,9 @@ def sphere_trace_visibility(sdf_fn, origins, dirs, t_max,
 
 def find_emitters_from_model(params, render_image, pd, n_emitters: int = 1,
                              emitter_scale: float = 1.0,
-                             mask_thresh: float = 0.5,
+                             mask_thresh: float | None = None,
+                             rel_thresh: float = 0.5,
+                             min_mask: float = 0.02,
                              max_points: int = 50_000,
                              key=None) -> Emitters:
     """Cluster emitters from the MODEL's own predictions: the trained
@@ -177,12 +179,19 @@ def find_emitters_from_model(params, render_image, pd, n_emitters: int = 1,
     reference's emitter plan, `model/network/__init__.py:49-75`, only
     ever clustered GT-masked pixels). Requires a model built with a
     `light_network`; `pd` is any dataset with `image_inputs`
-    (PlotData/RelightData). Radiance per emitter is the mean RENDERED
-    color of its pixels (times `emitter_scale`) — the same LDR-chroma
-    init find_emitters uses, refined by the material stage's emission
-    calibration when one is trained."""
+    (PlotData/RelightData).
+
+    Thresholding is RELATIVE by default (pixels above
+    `rel_thresh * global max`, floored at `min_mask`): the rendered
+    mask Sum(w * m) is bounded by weight_sum and smoothed over the ray,
+    so a well-trained head on a small fixture peaks well below 1.0
+    (measured 0.11 at the fixture vs 0.03 elsewhere after 2k tiny
+    steps) — but discriminates cleanly. Pass `mask_thresh` for an
+    absolute cutoff instead. Radiance per emitter is the mean RENDERED
+    color of its pixels (times `emitter_scale`), refined by the
+    material stage's emission calibration when one is trained."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    pts, rgbs = [], []
+    views = []
     for i in range(pd.n_images):
         uv, K, pose, _ = pd.image_inputs(i)
         out = render_image(params, jnp.asarray(uv), jnp.asarray(K),
@@ -196,16 +205,25 @@ def find_emitters_from_model(params, render_image, pd, n_emitters: int = 1,
         norms = jnp.linalg.norm(ray_dirs[0], axis=-1, keepdims=True)
         units = ray_dirs[0] / jnp.maximum(norms, 1e-12)
         dist = out["depth_values"].reshape(-1) * norms[:, 0]
-        p = cam_loc[0][None, :] + dist[:, None] * units
-        sel = (np.asarray(out["light_mask"]).reshape(-1) > mask_thresh)
-        sel &= np.asarray(out["weight_sum"]).reshape(-1) > 0.5
+        p = np.asarray(cam_loc[0][None, :] + dist[:, None] * units)
+        lm = np.asarray(out["light_mask"]).reshape(-1)
+        wsum = np.asarray(out["weight_sum"]).reshape(-1)
+        rgb = np.asarray(out["rgb_values"]).reshape(-1, 3)
+        views.append((lm, wsum, p, rgb))
+
+    if mask_thresh is None:
+        gmax = max(float(lm.max()) for lm, _, _, _ in views)
+        mask_thresh = max(min_mask, rel_thresh * gmax)
+    pts, rgbs = [], []
+    for lm, wsum, p, rgb in views:
+        sel = (lm > mask_thresh) & (wsum > 0.5)
         if sel.any():
-            pts.append(np.asarray(p)[sel])
-            rgbs.append(np.asarray(out["rgb_values"]).reshape(-1, 3)[sel])
+            pts.append(p[sel])
+            rgbs.append(rgb[sel])
     if not pts:
         raise ValueError(
             "model predicts no emissive pixels above "
-            f"{mask_thresh} in any view (is the light head trained?)")
+            f"{mask_thresh:.3f} in any view (is the light head trained?)")
     return _cluster_emitters(np.concatenate(pts), np.concatenate(rgbs),
                              n_emitters, emitter_scale, max_points, key)
 
