@@ -41,6 +41,7 @@ from ..models.rendering_layer import (RenderingLayerConfig, shade,  # noqa: F401
 from ..ops.clustering import init_emission_groups
 from ..train.step import make_eval_render_fn
 from ..train import artifacts
+from ..utils import imaging
 from ..utils.cameras import get_camera_params
 from ..utils.imaging import linear_to_srgb
 
@@ -527,6 +528,11 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
             artifacts.write_rgb(
                 os.path.join(out_dir, f"{tag}_{name}.png"),
                 np.clip(linear_to_srgb(img.reshape(H, W, 3)), 0, 1))
+        # linear radiance for radiometric consumers (EXR via the native
+        # codec; .npy fallback), matching render mode's EXR outputs
+        imaging.write_exr_or_npy(
+            os.path.join(out_dir, f"{tag}_relit.exr"),
+            relit.reshape(H, W, 3).astype(np.float32))
         results.append({"idx": idx, "mean_radiance": float(relit.mean())})
         print(f"[relight {tag}] mean={relit.mean():.4f}")
 

@@ -153,6 +153,9 @@ def test_run_relight_end_to_end(scene, tmp_path):
     assert os.path.exists(os.path.join(out, "0000_relit.png"))
     assert os.path.exists(os.path.join(out, "0000_diffuse.png"))
     assert os.path.exists(os.path.join(out, "0000_specular.png"))
+    # linear-radiance EXR (or .npy fallback) next to the tonemapped PNG
+    assert (os.path.exists(os.path.join(out, "0000_relit.exr"))
+            or os.path.exists(os.path.join(out, "0000_relit.npy")))
     img = np.asarray(res["images"][0]["mean_radiance"])
     assert np.isfinite(img)
 
