@@ -18,15 +18,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def scene_sdf(p: jnp.ndarray) -> jnp.ndarray:
+def scene_sdf(p: jnp.ndarray, lights=None) -> jnp.ndarray:
     """Analytic SDF of the demo room: (N, 3) -> (N,).
 
     Room interior of half-extent 2 (solid outside), a unit-ish sphere,
     a thin vertical pillar (r=0.04, a bubble-loss target), and the
-    ceiling-mounted spherical light FIXTURE (the emitter is real
-    geometry, so depth / normals / the light mask / occlusion are all
-    consistent with the images — the same property real captures have).
+    spherical light FIXTURE(s) (emitters are real geometry, so depth /
+    normals / the light mask / occlusion are all consistent with the
+    images — the same property real captures have). `lights` is a tuple
+    of (pos, radius, radiance) triples; default: the single ceiling
+    fixture (DEFAULT_LIGHTS).
     """
+    lights = DEFAULT_LIGHTS if lights is None else lights
     b = jnp.asarray([2.0, 2.0, 2.0])
     q = jnp.abs(p) - b
     # eps inside the sqrt keeps grad finite at the walls (norm(0) has a
@@ -41,14 +44,15 @@ def scene_sdf(p: jnp.ndarray) -> jnp.ndarray:
     dxz = p[..., [0, 2]] - jnp.asarray([-1.0, -0.8])
     pillar = jnp.linalg.norm(dxz, axis=-1) - 0.04
 
-    fixture = jnp.linalg.norm(p - _LIGHT_POS, axis=-1) - _LIGHT_RADIUS
+    s = jnp.minimum(room, jnp.minimum(sphere, pillar))
+    for pos, radius, _ in lights:
+        s = jnp.minimum(
+            s, jnp.linalg.norm(p - jnp.asarray(pos), axis=-1) - radius)
+    return s
 
-    return jnp.minimum(jnp.minimum(room, fixture),
-                       jnp.minimum(sphere, pillar))
 
-
-def scene_normal(p: jnp.ndarray) -> jnp.ndarray:
-    g = jax.vmap(jax.grad(lambda q: scene_sdf(q[None])[0]))(p)
+def scene_normal(p: jnp.ndarray, lights=None) -> jnp.ndarray:
+    g = jax.vmap(jax.grad(lambda q: scene_sdf(q[None], lights)[0]))(p)
     return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
 
 
@@ -80,19 +84,31 @@ _LIGHT_RADIUS = 0.2
 _LIGHT_RADIANCE = jnp.asarray([110.0, 100.0, 90.0])  # slightly warm
 _AMBIENT = 0.15
 
+# (pos, radius, radiance) triples. DEFAULT: the single ceiling fixture
+# (every existing consumer's scene). TWO_LIGHTS adds a cool wall sconce
+# for scene-level multi-emitter validation (distinct chroma, so emitter
+# attribution is checkable from the recovered radiance).
+DEFAULT_LIGHTS = ((_LIGHT_POS, _LIGHT_RADIUS, _LIGHT_RADIANCE),)
+TWO_LIGHTS = DEFAULT_LIGHTS + (
+    (jnp.asarray([-1.55, 1.1, 0.0]), 0.18,
+     jnp.asarray([35.0, 60.0, 110.0])),)
 
-def is_emitter(p: jnp.ndarray) -> jnp.ndarray:
-    """1 on the emitting fixture surface (light_mask supervision)."""
-    d = jnp.linalg.norm(p - _LIGHT_POS, axis=-1)
-    return (d < _LIGHT_RADIUS + 0.02).astype(jnp.float32)
+
+def is_emitter(p: jnp.ndarray, lights=None) -> jnp.ndarray:
+    """1 on any emitting fixture surface (light_mask supervision)."""
+    lights = DEFAULT_LIGHTS if lights is None else lights
+    m = jnp.zeros(p.shape[:-1], bool)
+    for pos, radius, _ in lights:
+        m |= jnp.linalg.norm(p - jnp.asarray(pos), axis=-1) < radius + 0.02
+    return m.astype(jnp.float32)
 
 
-def sphere_trace(cam_loc, ray_dirs, n_steps: int = 128):
+def sphere_trace(cam_loc, ray_dirs, n_steps: int = 128, lights=None):
     """Fixed-step sphere tracing: returns (depth along ray, hit mask)."""
     def body(carry, _):
         t, done = carry
         p = cam_loc + t[:, None] * ray_dirs
-        d = scene_sdf(p)
+        d = scene_sdf(p, lights)
         hit = jnp.abs(d) < 1e-4
         done = done | hit
         t = jnp.where(done, t, t + jnp.clip(d, -0.5, 0.5) * 0.9)
@@ -105,20 +121,22 @@ def sphere_trace(cam_loc, ray_dirs, n_steps: int = 128):
     return t, done
 
 
-def _shadow_visibility(p, n, n_steps: int = 48, eps: float = 1e-3):
+def _shadow_visibility(p, n, light_pos, light_radius, lights,
+                       n_steps: int = 48, eps: float = 1e-3):
     """1 where the segment from `p` (lifted off the surface along `n`)
-    to the fixture's near surface is unoccluded. Min-SDF march with the
-    step floored at t_max/n_steps (same scheme as
+    to ONE fixture's near surface is unoccluded (the full scene — other
+    fixtures included — occludes). Min-SDF march with the step floored
+    at t_max/n_steps (same scheme as
     eval/relight.py::sphere_trace_visibility)."""
-    to_l = _LIGHT_POS[None] - p
+    to_l = jnp.asarray(light_pos)[None] - p
     d = jnp.linalg.norm(to_l, axis=-1)
     l = to_l / jnp.maximum(d, 1e-9)[:, None]
-    t_max = jnp.maximum(d - _LIGHT_RADIUS - 1e-2, 1e-3)
+    t_max = jnp.maximum(d - light_radius - 1e-2, 1e-3)
     o = p + 5e-3 * n  # lift: the origin itself has sdf ~ 0
 
     def body(carry, _):
         t, min_s = carry
-        s = scene_sdf(o + t[:, None] * l)
+        s = scene_sdf(o + t[:, None] * l, lights)
         min_s = jnp.minimum(min_s, s)
         t = jnp.minimum(t + jnp.maximum(s, t_max / n_steps), t_max)
         return (t, min_s), None
@@ -129,32 +147,40 @@ def _shadow_visibility(p, n, n_steps: int = 48, eps: float = 1e-3):
     return (min_s > eps).astype(jnp.float32)
 
 
-def shade(p, n, view_dir):
+def shade(p, n, view_dir, lights=None):
     """UNCLIPPED linear radiance: Lambertian direct lighting from the
-    spherical fixture (solid-angle irradiance + sphere-traced hard
-    shadows) + constant ambient — the exact transport
-    `train/material.py` inverts, so material recovery on this scene is
-    a well-posed problem. Lo = alb * (ambient
-    + L * sin^2(half-angle) * <n,l> * vis); emitter pixels render at
-    the emission. The generator stores this raw in `hdr/*.exr` (the
-    material stage's radiometric input, reference DATA_CONVENTION
-    style) and clipped to [0,1] in `image/*.png` (the recon stage's
-    LDR input) — near a radiance-110 light the clipped fraction is
-    large enough to bias any fit done in LDR (measured: emission
-    calibrated 2.4x low, albedo corr 0.46 vs 0.80+ on HDR)."""
-    to_light = _LIGHT_POS - p
-    dist2 = jnp.sum(to_light**2, axis=-1, keepdims=True)
-    dist = jnp.sqrt(jnp.maximum(dist2, 1e-9))
-    l = to_light / dist
-    ndotl = jnp.clip(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
-    sin2_h = jnp.clip((_LIGHT_RADIUS / dist) ** 2, 0.0, 1.0)
-    vis = _shadow_visibility(p, n)[:, None]
+    spherical fixture(s) (solid-angle irradiance + sphere-traced hard
+    shadows, summed over lights) + constant ambient — the exact
+    transport `train/material.py` inverts, so material recovery on this
+    scene is a well-posed problem. Lo = alb * (ambient
+    + sum_k L_k * sin^2(half-angle_k) * <n,l_k> * vis_k); emitter
+    pixels render at their fixture's emission. The generator stores
+    this raw in `hdr/*.exr` (the material stage's radiometric input,
+    reference DATA_CONVENTION style) and clipped to [0,1] in
+    `image/*.png` (the recon stage's LDR input) — near a radiance-110
+    light the clipped fraction is large enough to bias any fit done in
+    LDR (measured: emission calibrated 2.4x low, albedo corr 0.46 vs
+    0.80+ on HDR)."""
+    lights = DEFAULT_LIGHTS if lights is None else lights
     alb = scene_albedo(p)
-    emit = is_emitter(p)[..., None]
-    color = alb * (_AMBIENT + _LIGHT_RADIANCE[None] * sin2_h * ndotl * vis)
-    return jnp.where(emit > 0,
-                     jnp.broadcast_to(_LIGHT_RADIANCE[None], color.shape),
-                     color)
+    direct = jnp.zeros_like(alb)
+    for pos, radius, radiance in lights:
+        to_light = jnp.asarray(pos) - p
+        dist2 = jnp.sum(to_light**2, axis=-1, keepdims=True)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-9))
+        l = to_light / dist
+        ndotl = jnp.clip(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+        sin2_h = jnp.clip((radius / dist) ** 2, 0.0, 1.0)
+        vis = _shadow_visibility(p, n, pos, radius, lights)[:, None]
+        direct = direct + jnp.asarray(radiance)[None] * sin2_h * ndotl * vis
+    color = alb * (_AMBIENT + direct)
+    for pos, radius, radiance in lights:
+        on = (jnp.linalg.norm(p - jnp.asarray(pos), axis=-1)
+              < radius + 0.02)[..., None]
+        color = jnp.where(
+            on, jnp.broadcast_to(jnp.asarray(radiance)[None], color.shape),
+            color)
+    return color
 
 
 def _look_at(eye, target, up=np.array([0.0, 1.0, 0.0])):
@@ -178,11 +204,15 @@ def generate_synthetic_scene(
     img_res: tuple[int, int] = (60, 80),
     scan_id: int = 0,
     depth_format: str = "npy",
+    lights=None,
 ) -> str:
     """Render + write a full scan directory; returns the scan path.
 
     depth_format="exr" stores depth/normal as EXR like the reference's
     released datasets (loaded through the native C++ EXR reader).
+    `lights` (tuple of (pos, radius, radiance)): the fixture set —
+    DEFAULT_LIGHTS (one ceiling fixture) or e.g. TWO_LIGHTS for
+    multi-emitter scenes.
     """
     import cv2
 
@@ -223,11 +253,11 @@ def generate_synthetic_scene(
         dirs_unit = jnp.asarray(dirs_world / norm, jnp.float32)
         cam = jnp.broadcast_to(jnp.asarray(eye, jnp.float32), dirs_unit.shape)
 
-        t, hit = sphere_trace(cam, dirs_unit)
+        t, hit = sphere_trace(cam, dirs_unit, lights=lights)
         p = cam + t[:, None] * dirs_unit
-        n = scene_normal(p)
+        n = scene_normal(p, lights)
         hdr = np.asarray(jnp.where(hit[:, None],
-                                   shade(p, n, -dirs_unit), 0.0))
+                                   shade(p, n, -dirs_unit, lights), 0.0))
         rgb = np.clip(hdr, 0.0, 1.0)
 
         # stored depth convention: the model predicts euclidean_t/||raw_dir||
@@ -239,7 +269,7 @@ def generate_synthetic_scene(
         n_view = n_world @ pose[:3, :3]  # world -> view (R^T n)
         n_view = np.where(np.asarray(hit)[:, None], n_view, 0.0)
 
-        lmask = np.asarray(is_emitter(p)) * np.asarray(hit)
+        lmask = np.asarray(is_emitter(p, lights)) * np.asarray(hit)
 
         cv2.imwrite(os.path.join(scan_dir, "image", f"{i:04d}.png"),
                     (rgb.reshape(H, W, 3)[:, :, ::-1] * 255).astype(np.uint8))

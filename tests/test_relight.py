@@ -87,6 +87,25 @@ def test_find_emitters_locates_fixture(tmp_path):
     assert 0.02 < float(em.radii[0]) < 3.0 * _LIGHT_RADIUS
 
 
+def test_find_emitters_two_fixtures(tmp_path):
+    """Scene-level multi-emitter discovery: a TWO_LIGHTS scan's masks
+    must cluster into two emitters, one on each physical fixture."""
+    from i2sdf_tpu.data.synth import TWO_LIGHTS
+
+    generate_synthetic_scene(str(tmp_path / "demo"), n_images=8,
+                             img_res=(48, 64), lights=TWO_LIGHTS)
+    rd = ReconData("demo", scan_id=0, data_root=str(tmp_path),
+                   use_depth=True, use_lightmask=True)
+    em = find_emitters(rd, n_emitters=2)
+    centers = np.asarray(em.centers)
+    gts = np.stack([np.asarray(pos) for pos, _, _ in TWO_LIGHTS])
+    # each recovered emitter matches a DISTINCT fixture
+    d = np.linalg.norm(centers[:, None] - gts[None], axis=-1)  # (2, 2)
+    best = d.argmin(axis=1)
+    assert set(best.tolist()) == {0, 1}
+    assert float(d.min(axis=1).max()) < 0.5
+
+
 def test_carve_emitters_sdf():
     """Emitter balls must read as free space for visibility: a light
     embedded in the ceiling must not shadow its own illumination."""
