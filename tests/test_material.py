@@ -26,6 +26,90 @@ def empty_sdf(p):
     return jnp.full(p.shape[:1], 10.0)
 
 
+@pytest.mark.slow
+def test_two_emitter_emission_chroma_recovery(tmp_path):
+    """Closed loop on a TWO_LIGHTS scene: with mask-DISCOVERED emitters
+    and analytic geometry, the per-emitter learnable emission must
+    recover each fixture's chroma — warm (R>B) for the ceiling light,
+    cool (B>R) for the sconce — from shading alone (emitter pixels are
+    excluded from the fit; LDR pixel inits are clipped white)."""
+    import jax.numpy as jnp
+
+    from i2sdf_tpu.data import ReconData, generate_synthetic_scene
+    from i2sdf_tpu.data.synth import (TWO_LIGHTS, is_emitter, scene_normal,
+                                      scene_sdf, sphere_trace)
+    from i2sdf_tpu.data.material import MaterialData
+    from i2sdf_tpu.eval.relight import find_emitters
+    from i2sdf_tpu.models.material import (MaterialNetConfig,
+                                           emission_apply, emission_init,
+                                           material_net_init)
+    from i2sdf_tpu.train.material import (MaterialTrainConfig,
+                                          make_material_train_step)
+    from i2sdf_tpu.train.state import TrainState, make_optimizer
+    from i2sdf_tpu.utils.cameras import get_camera_params
+
+    root = tmp_path / "root"
+    generate_synthetic_scene(str(root / "demo"), n_images=8,
+                             img_res=(36, 48), lights=TWO_LIGHTS)
+    rd = ReconData("demo", scan_id=0, data_root=str(root), use_depth=True,
+                   use_lightmask=True)
+    em = find_emitters(rd, n_emitters=2)
+
+    md = MaterialData("demo", scan_id=0, data_root=str(root), is_hdr=True)
+    flat = {k: [] for k in ("points", "normals", "view_dirs", "rgb")}
+    for i in range(md.n_images):
+        uv = jnp.asarray(md.uv)
+        ray_dirs, cam_loc = get_camera_params(
+            uv[None], jnp.asarray(md.pose_all[i])[None],
+            jnp.asarray(md.intrinsics_all[i])[None])
+        units = ray_dirs[0] / jnp.linalg.norm(ray_dirs[0], axis=-1,
+                                              keepdims=True)
+        cams = jnp.broadcast_to(cam_loc[0], units.shape)
+        t, hit = sphere_trace(cams, units, lights=TWO_LIGHTS)
+        p = cams + t[:, None] * units
+        sel = np.asarray(hit) & (np.asarray(
+            is_emitter(p, TWO_LIGHTS)) < 0.5)
+        flat["points"].append(np.asarray(p)[sel])
+        flat["normals"].append(np.asarray(
+            scene_normal(p, TWO_LIGHTS))[sel])
+        flat["view_dirs"].append(np.asarray(-units)[sel])
+        flat["rgb"].append(np.asarray(md.rgb_images[i])[sel])
+    buffers = {k: jnp.asarray(np.concatenate(v), jnp.float32)
+               for k, v in flat.items()}
+
+    mat_cfg = MaterialNetConfig(dims=(64,) * 3, multires=4)
+    tcfg = MaterialTrainConfig(batch_size=1024, spp=8, vis_steps=12,
+                               learning_rate=5e-3, steps=2000,
+                               smooth_weight=1e-4)
+    params = {
+        "material": material_net_init(jax.random.PRNGKey(5), mat_cfg),
+        "emission": emission_init(em.radiance),
+    }
+    tx = make_optimizer(5e-3, decay_steps=2000)
+    step_fn, _, calibrate = make_material_train_step(
+        mat_cfg, tcfg, lambda p: scene_sdf(p, TWO_LIGHTS),
+        em.centers, em.radii, tx)
+    key = jax.random.PRNGKey(9)
+    key, k_cal = jax.random.split(key)
+    params = calibrate(params, buffers, k_cal)
+    state = TrainState(step=jnp.int32(0), params=params,
+                       opt_state=tx.init(params))
+    for _ in range(2000):
+        key, k = jax.random.split(key)
+        state, _ = step_fn(state, buffers, k)
+
+    learned = np.asarray(emission_apply(state.params["emission"]))
+    centers = np.asarray(em.centers)
+    gts = np.stack([np.asarray(pos) for pos, _, _ in TWO_LIGHTS])
+    which = np.linalg.norm(centers[:, None] - gts[None], axis=-1).argmin(1)
+    ceil_rgb = learned[list(which).index(0)]
+    sconce_rgb = learned[list(which).index(1)]
+    # ceiling fixture is warm (true 110/100/90), sconce cool (35/60/110)
+    assert ceil_rgb[0] > ceil_rgb[2], ceil_rgb
+    assert sconce_rgb[2] > sconce_rgb[0], sconce_rgb
+    assert np.isfinite(learned).all() and (learned > 0).all()
+
+
 def test_project_to_surface_reduces_sdf():
     """Newton projection must pull points (far) closer to the zero
     level-set of the implicit net."""
