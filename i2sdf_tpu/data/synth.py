@@ -275,19 +275,12 @@ def generate_synthetic_scene(
                     (rgb.reshape(H, W, 3)[:, :, ::-1] * 255).astype(np.uint8))
         # unclipped linear radiance: the material stage's input.
         # EXR via the native codec (the released datasets' format);
-        # .npy fallback keeps scene generation pure-Python when the
-        # C++ toolchain is unavailable (loaders read both)
-        try:
-            from ..native import exr_write
+        # cv2/.npy fallbacks keep scene generation pure-Python when the
+        # C++ toolchain is unavailable (loaders read all three)
+        from ..utils.imaging import write_exr_or_npy
 
-            exr_write(os.path.join(scan_dir, "hdr", f"{i:04d}.exr"),
-                      hdr.reshape(H, W, 3).astype(np.float32), half=False)
-        except Exception as e:
-            if i == 0:
-                print(f"[WARN] native EXR writer unavailable ({e}); "
-                      "writing hdr/*.npy instead")
-            np.save(os.path.join(scan_dir, "hdr", f"{i:04d}.npy"),
-                    hdr.reshape(H, W, 3).astype(np.float32))
+        write_exr_or_npy(os.path.join(scan_dir, "hdr", f"{i:04d}.exr"),
+                         hdr.reshape(H, W, 3).astype(np.float32))
         if depth_format == "exr":
             from ..native import exr_write
 

@@ -192,8 +192,17 @@ def find_emitters_from_model(params, render_image, pd, n_emitters: int = 1,
     color of its pixels (times `emitter_scale`), refined by the
     material stage's emission calibration when one is trained."""
     key = key if key is not None else jax.random.PRNGKey(0)
+    # a view subset locates the clusters at a fraction of a full
+    # dataset sweep (real captures have hundreds of frames)
+    max_views = 16
+    if pd.n_images > max_views:
+        view_ids = np.linspace(0, pd.n_images - 1, max_views).astype(int)
+        print(f"[relight] model-head discovery over {max_views} of "
+              f"{pd.n_images} views")
+    else:
+        view_ids = range(pd.n_images)
     views = []
-    for i in range(pd.n_images):
+    for i in view_ids:
         uv, K, pose, _ = pd.image_inputs(i)
         out = render_image(params, jnp.asarray(uv), jnp.asarray(K),
                            jnp.asarray(pose))
@@ -213,7 +222,15 @@ def find_emitters_from_model(params, render_image, pd, n_emitters: int = 1,
         views.append((lm, wsum, p, rgb))
 
     if mask_thresh is None:
-        gmax = max(float(lm.max()) for lm, _, _, _ in views)
+        # max over ELIGIBLE pixels only (wsum > 0.5 — the same gate the
+        # selection applies): a high-mask/low-weight background ray
+        # would otherwise inflate the threshold past every selectable
+        # pixel and the discovery would report an untrained head
+        gmax = 0.0
+        for lm, wsum, _, _ in views:
+            elig = lm[wsum > 0.5]
+            if elig.size:
+                gmax = max(gmax, float(elig.max()))
         mask_thresh = max(min_mask, rel_thresh * gmax)
     pts, rgbs = [], []
     for lm, wsum, p, rgb in views:

@@ -448,17 +448,22 @@ class MaterialTrainer:
               "surface samples")
 
         if self.tcfg.project_surface:
-            self.buffers["points"] = project_to_surface(
-                recon_params["implicit"], model_cfg.implicit,
-                self.buffers["points"])
-            # validation renders (render_material_maps) shade the same
-            # per-image points — they need the projection too, or the
-            # val PSNR suffers the exact inside-surface visibility
-            # collapse the projection fixes for training
+            # project each image's VALID pixels once, then rebuild the
+            # flat train buffer from the same arrays — bake_geometry
+            # concatenated per-image valid points in this exact order,
+            # and the validation maps (render_material_maps) shade
+            # per_image, so both sides see the projected points
+            flat_proj = []
             for g in self.per_image:
-                g["points"] = np.asarray(project_to_surface(
+                sel = g["valid"]
+                proj = np.asarray(project_to_surface(
                     recon_params["implicit"], model_cfg.implicit,
-                    jnp.asarray(g["points"])))
+                    jnp.asarray(g["points"][sel])))
+                g["points"] = np.array(g["points"])
+                g["points"][sel] = proj
+                flat_proj.append(proj)
+            self.buffers["points"] = jnp.asarray(
+                np.concatenate(flat_proj), jnp.float32)
 
         # emitting surfaces are not material-fit targets — their pixels
         # show emission, not reflected light. Drop baked points inside

@@ -133,6 +133,14 @@ def write_exr_or_npy(path: str, data: np.ndarray) -> str:
                 return path
         except cv2.error:
             pass
+        # remove a partial .exr from a failed attempt: glob-based
+        # loaders count files, and a leftover next to the .npy would
+        # pair images with the wrong cameras
+        if os.path.exists(path):
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
         path = path[:-4] + ".npy"
     np.save(path, data)
     return path

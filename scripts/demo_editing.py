@@ -169,12 +169,10 @@ def main():
     m_edit = res_edit["images"][0]["mean_radiance"]
     assert np.isfinite([m_orig, m_edit]).all() and m_orig > 0
     # quantify the re-render under the ORIGINAL light against GT (both
-    # in display sRGB, like the panel)
-    relit_lin = np.asarray(
-        cv2.imread(os.path.join(args.out, "orig", "eval", "relight",
-                                "0000_relit.png")), np.float32) / 255.0
+    # in display sRGB, like the panel; `relit` was loaded above)
+    relit_srgb = np.asarray(relit, np.float32) / 255.0
     gt_f = np.asarray(gt, np.float32) / 255.0
-    mse = float(np.mean((relit_lin - gt_f) ** 2))
+    mse = float(np.mean((relit_srgb - gt_f) ** 2))
     relit_psnr = -10.0 * np.log10(max(mse, 1e-12))
     print(f"[edit-demo] relit-vs-gt PSNR {relit_psnr:.2f} dB (sRGB)")
     print(f"[edit-demo] relit mean {m_orig:.4f}, edited {m_edit:.4f}")

@@ -102,6 +102,8 @@ def test_two_emitter_emission_chroma_recovery(tmp_path):
     centers = np.asarray(em.centers)
     gts = np.stack([np.asarray(pos) for pos, _, _ in TWO_LIGHTS])
     which = np.linalg.norm(centers[:, None] - gts[None], axis=-1).argmin(1)
+    assert set(which.tolist()) == {0, 1}, \
+        f"clusters did not match distinct fixtures: {centers}"
     ceil_rgb = learned[list(which).index(0)]
     sconce_rgb = learned[list(which).index(1)]
     # ceiling fixture is warm (true 110/100/90), sconce cool (35/60/110)

@@ -289,10 +289,11 @@ def test_trained_light_head_discriminates_fixture(tmp_path):
             sel = lm > 0.5 * float(lm.max())
             enrich.append((gt[sel].mean(), gt.mean()))
     assert enrich, "no view sees the fixture"
-    hit_rate, base_rate = enrich[0]
     # selected pixels must be enriched in the GT emitter region far
-    # beyond chance (measured ~0.4+ hit rate vs ~0.02 base)
-    assert hit_rate > 5 * base_rate
+    # beyond chance in at least one fixture view (measured ~0.4+ hit
+    # rate vs ~0.02 base)
+    ratios = [hit / max(base, 1e-6) for hit, base in enrich]
+    assert max(ratios) > 5, ratios
     assert gmax > 0.05  # the head actually fires somewhere
 
 
