@@ -78,14 +78,21 @@ def _materialize_weights(params, cfg: ImplicitNetConfig):
 
 def _make_kernel(cfg: ImplicitNetConfig, emb_dim: int, n_layers: int,
                  out_cols: int, pe_freqs: tuple | None = None,
-                 emb_pad: int | None = None, block_rows: int | None = None):
+                 emb_pad: int | None = None, block_rows: int | None = None,
+                 clamp: tuple | None = None):
     """When `pe_freqs` is given the kernel input is raw (BR, 8)-padded
     xyz and the positional encoding is built on the VPU in-kernel (one
-    less XLA fusion + 2x less HBM read per sampler round)."""
+    less XLA fusion + 2x less HBM read per sampler round). When `clamp`
+    = (sphere_scale, radius) is given, an extra f32 (BR, 8) points ref
+    follows the embedding ref and the bounding-sphere clamp
+    min(sdf, scale*(R-|x|)) happens in-kernel (mlp.py:147-150 parity),
+    saving one XLA fusion per sampler round."""
     skip_in = set(cfg.skip_in)
     inv_sqrt2 = 1.0 / math.sqrt(2.0)
 
     def kernel(emb_ref, *refs):
+        if clamp is not None:
+            pts_ref, *refs = refs
         w_refs = refs[:n_layers]
         b_refs = refs[n_layers:2 * n_layers]
         out_ref = refs[2 * n_layers]
@@ -116,7 +123,15 @@ def _make_kernel(cfg: ImplicitNetConfig, emb_dim: int, n_layers: int,
                 h = x.astype(jnp.bfloat16)
             else:
                 h = x  # final layer stays f32
-        out_ref[:] = h[:, :out_cols]
+        h = h[:, :out_cols]
+        if clamp is not None:
+            scale, radius = clamp
+            p = pts_ref[:][:, :3]
+            sphere = scale * (radius - jnp.sqrt(
+                jnp.sum(p * p, axis=-1, keepdims=True)))
+            lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+            h = jnp.where(lane == 0, jnp.minimum(h, sphere), h)
+        out_ref[:] = h
 
     return kernel
 
@@ -143,19 +158,41 @@ def fused_sdf_mlp(params, cfg: ImplicitNetConfig, points: jnp.ndarray,
     in_cols = emb_pad
 
     ws, bs = _materialize_weights(params, cfg)
+
+    out_cols = 8  # col 0 = sdf; small tile keeps the writeback tiny
+    # only the SDF column is consumed — slice the final layer to the
+    # first out_cols columns (the 256->257 feature head is ~12% of the
+    # network's MACs and dead weight on this no-grad path)
+    wl, bl = ws[-1][:, :out_cols], bs[-1][:out_cols]
+    if wl.shape[1] < out_cols:  # tiny heads: pad back to the tile
+        wl = jnp.pad(wl, ((0, 0), (0, out_cols - wl.shape[1])))
+        bl = jnp.pad(bl, (0, out_cols - bl.shape[0]))
+    ws[-1], bs[-1] = wl, bl
     ws = [w.astype(jnp.bfloat16) for w in ws]
     bs = [b.reshape(1, -1).astype(jnp.float32) for b in bs]
 
-    out_cols = 8  # col 0 = sdf; small tile keeps the writeback tiny
+    clamp = None
+    clamp_inputs = ()
+    if cfg.sdf_bounding_sphere > 0.0:
+        clamp = (float(cfg.sphere_scale), float(cfg.sdf_bounding_sphere))
+        pts_pad = jnp.pad(points.astype(jnp.float32),
+                          ((0, n_pad - n), (0, 8 - points.shape[-1])))
+        clamp_inputs = (pts_pad,)
+
     kernel = _make_kernel(cfg, emb_dim, n_layers, out_cols,
                           pe_freqs=pe_freqs, emb_pad=emb_pad,
-                          block_rows=block_rows)
+                          block_rows=block_rows, clamp=clamp)
 
     grid = (n_pad // block_rows,)
     in_specs = [
         pl.BlockSpec((block_rows, in_cols), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if clamp is not None:
+        in_specs += [
+            pl.BlockSpec((block_rows, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     in_specs += [
         pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for w in ws
@@ -178,13 +215,9 @@ def fused_sdf_mlp(params, cfg: ImplicitNetConfig, points: jnp.ndarray,
             bytes_accessed=n_pad * (emb_pad + out_cols) * 2,
             transcendentals=n_pad * sum(dims[1:-1])),
         interpret=interpret,
-    )(feats, *ws, *bs)
+    )(feats, *clamp_inputs, *ws, *bs)
 
     sdf = out[:n, 0]
-    if cfg.sdf_bounding_sphere > 0.0:
-        sphere_sdf = cfg.sphere_scale * (
-            cfg.sdf_bounding_sphere - jnp.linalg.norm(points, axis=-1))
-        sdf = jnp.minimum(sdf, sphere_sdf)
     return sdf
 
 

@@ -45,7 +45,16 @@ def _laplace(sdf, beta):
 
 
 def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
-                 add_tiny: float, final: bool, block_rows: int):
+                 add_tiny: float, final: bool, block_rows: int,
+                 sample_rows: int):
+    """`block_rows` rays per grid step. The d*/bisection/pdf phase is
+    matmul-dominated and runs on the whole block (large rows feed the
+    MXU's 128 sublanes — at the historical block_rows=8 the (8,S)@(S,S)
+    prefix-sum matmuls wasted 94% of the systolic array). The
+    inverse-CDF phase materializes (rows, N, 128) masked-reduction
+    temporaries, so it loops over `sample_rows`-row subgroups to stay
+    inside VMEM."""
+
     def kernel(z_ref, sdf_ref, beta_ref, u_ref, beta0_ref,
                samples_ref, beta_out_ref):
         z = z_ref[:]              # (BR, S) f32
@@ -78,18 +87,18 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
             (jnp.sign(s_next) * jnp.sign(s) == 1) & (~is_last), d_star, 0.0)
 
         # --- prefix sums via triangular matmuls on the MXU ---------------
+        # one strict-triangular matrix serves both prefix flavors:
+        # incl(x) = excl(x) + x.
         row_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
         col_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-        tri_incl = (row_i <= col_i).astype(jnp.bfloat16)
         tri_strict = (row_i < col_i).astype(jnp.bfloat16)
-
-        def incl(x):
-            return jnp.dot(x.astype(jnp.bfloat16), tri_incl,
-                           preferred_element_type=jnp.float32)
 
         def excl(x):
             return jnp.dot(x.astype(jnp.bfloat16), tri_strict,
                            preferred_element_type=jnp.float32)
+
+        def incl(x):
+            return excl(x) + x
 
         def excl_exact(x):
             # hi/lo split: ~f32-accurate prefix (a single bf16 pass can
@@ -104,12 +113,14 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
         def error_bound(beta_col):
             dens = _laplace(s, beta_col)
             e = jnp.where(is_last, 0.0, dists_m * dens)
-            integral_excl = excl(e)
             err = jnp.where(
                 is_last, 0.0,
                 jnp.exp(-d_star / beta_col) * dists_m * dists_m
                 / (4.0 * beta_col * beta_col))
-            err_int = incl(err)
+            # both prefixes in ONE stacked (2*BR, S) matmul
+            both = excl(jnp.concatenate([e, err], axis=0))
+            integral_excl = both[:block_rows]
+            err_int = both[block_rows:] + err
             bound = (jnp.minimum(jnp.exp(err_int), 1e6) - 1.0) * jnp.exp(
                 -integral_excl)
             bound = jnp.where(is_last, -jnp.inf, bound)
@@ -155,31 +166,39 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
         cdf = excl_exact(pdf)  # cdf[t] = sum_{j<t}; cdf[0]=0, cdf[-1]~1
 
         # --- gather-free inverse CDF -------------------------------------
-        u = u_ref[:]  # (BR, N)
+        # looped over `sample_rows`-row subgroups: the (rows, N, 128)
+        # masked-reduction temporaries are the VMEM high-water mark, so
+        # they stay at the historical 8-row size while the matmul phase
+        # above enjoys the full block.
         neg_inf = jnp.float32(-jnp.inf)
         pos_inf = jnp.float32(jnp.inf)
-        cdf_last = cdf[:, S - 1:]   # (BR, 1)
-        z_last = z[:, S - 1:]
-        cb = jnp.full_like(u, neg_inf)
-        bb = jnp.full_like(u, neg_inf)
-        ca = jnp.broadcast_to(cdf_last, u.shape)
-        ba = jnp.broadcast_to(z_last, u.shape)
-        for cstart in range(0, S, _LANES):
-            cdf_c = cdf[:, cstart:cstart + _LANES][:, None, :]
-            z_c = z[:, cstart:cstart + _LANES][:, None, :]
-            le = cdf_c <= u[:, :, None]            # (BR, N, C)
-            cb = jnp.maximum(cb, jnp.max(
-                jnp.where(le, cdf_c, neg_inf), axis=-1))
-            bb = jnp.maximum(bb, jnp.max(
-                jnp.where(le, z_c, neg_inf), axis=-1))
-            ca = jnp.minimum(ca, jnp.min(
-                jnp.where(le, pos_inf, cdf_c), axis=-1))
-            ba = jnp.minimum(ba, jnp.min(
-                jnp.where(le, pos_inf, z_c), axis=-1))
-        denom = ca - cb
-        denom = jnp.where(denom < 1e-5, 1.0, denom)
-        t = (u - cb) / denom
-        samples_ref[:] = bb + t * (ba - bb)
+        for g0 in range(0, block_rows, sample_rows):
+            g1 = g0 + sample_rows
+            u = u_ref[g0:g1]  # (G, N)
+            cdf_g = cdf[g0:g1]
+            z_g = z[g0:g1]
+            cdf_last = cdf_g[:, S - 1:]   # (G, 1)
+            z_last = z_g[:, S - 1:]
+            cb = jnp.full_like(u, neg_inf)
+            bb = jnp.full_like(u, neg_inf)
+            ca = jnp.broadcast_to(cdf_last, u.shape)
+            ba = jnp.broadcast_to(z_last, u.shape)
+            for cstart in range(0, S, _LANES):
+                cdf_c = cdf_g[:, cstart:cstart + _LANES][:, None, :]
+                z_c = z_g[:, cstart:cstart + _LANES][:, None, :]
+                le = cdf_c <= u[:, :, None]            # (G, N, C)
+                cb = jnp.maximum(cb, jnp.max(
+                    jnp.where(le, cdf_c, neg_inf), axis=-1))
+                bb = jnp.maximum(bb, jnp.max(
+                    jnp.where(le, z_c, neg_inf), axis=-1))
+                ca = jnp.minimum(ca, jnp.min(
+                    jnp.where(le, pos_inf, cdf_c), axis=-1))
+                ba = jnp.minimum(ba, jnp.min(
+                    jnp.where(le, pos_inf, z_c), axis=-1))
+            denom = ca - cb
+            denom = jnp.where(denom < 1e-5, 1.0, denom)
+            t = (u - cb) / denom
+            samples_ref[g0:g1] = bb + t * (ba - bb)
 
     return kernel
 
@@ -187,13 +206,24 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
 @functools.partial(
     jax.jit,
     static_argnames=("beta_iters", "eps", "add_tiny", "final",
-                     "block_rows", "interpret"))
+                     "block_rows", "sample_rows", "interpret"))
 def sampler_round_pallas(z_vals, sdf, beta, u, beta0, *, beta_iters: int,
                          eps: float, add_tiny: float, final: bool,
-                         block_rows: int = 32, interpret: bool = False):
+                         block_rows: int = 64, sample_rows: int = 8,
+                         interpret: bool = False):
     """(samples (R, N), beta (R,)) — kernel form of round_update."""
     R, S = z_vals.shape
     n_out = u.shape[1]
+    # the (BR, S) live set + (S, S) triangle must fit the 16 MB scoped
+    # VMEM: at S=640 a 64-row block measures 17.8 MB — halve the block
+    # for the widest rounds
+    if S > 512:
+        block_rows = min(block_rows, 32)
+    block_rows = min(block_rows, _round_up(R, sample_rows))
+    sample_rows = min(sample_rows, block_rows)
+    if block_rows % sample_rows:
+        raise ValueError(f"block_rows {block_rows} must be a multiple of "
+                         f"sample_rows {sample_rows}")
     r_pad = _round_up(R, block_rows)
 
     def pad(x, val=0.0):
@@ -211,7 +241,7 @@ def sampler_round_pallas(z_vals, sdf, beta, u, beta0, *, beta_iters: int,
     u_p = pad(u)
 
     kernel = _make_kernel(S, n_out, beta_iters, eps, add_tiny, final,
-                          block_rows)
+                          block_rows, sample_rows)
     grid = (r_pad // block_rows,)
     samples, beta_out = pl.pallas_call(
         kernel,
@@ -248,14 +278,15 @@ def sampler_round_pallas(z_vals, sdf, beta, u, beta0, *, beta_iters: int,
     return samples[:R], beta_out[:R, 0]
 
 
-def make_round_impl(cfg, block_rows: int = 8, interpret: bool = False):
+def make_round_impl(cfg, block_rows: int = 64, interpret: bool = False):
     """Adapter with the `round_update` signature for error_bound_z_vals.
 
     All inputs are stop_gradient'ed: the sampler is not differentiated
     (its callers stop-gradient the z outputs anyway) and severing AD here
-    keeps JVP/VJP machinery from wrapping the pallas_call. block_rows=8
-    keeps the (BR, N, 128) masked-reduction temporaries within the 16 MB
-    VMEM scoped limit.
+    keeps JVP/VJP machinery from wrapping the pallas_call. The matmul
+    phase runs on the full `block_rows`; the inverse-CDF phase loops
+    over 8-row subgroups so its (rows, N, 128) masked-reduction
+    temporaries stay within the 16 MB VMEM scoped limit.
     """
     sg = jax.lax.stop_gradient
 
