@@ -254,10 +254,12 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
     beta = effective_beta(params["beta"], cfg.beta_min)
 
     round_impl = None
+    conv_impl = None
     if sdf_fn_nograd is None:
         if fused_sampler:
             from ..ops.pallas.fused_mlp import fused_sdf_mlp
-            from ..ops.pallas.sampler_round import make_round_impl
+            from ..ops.pallas.sampler_round import (make_conv_check_impl,
+                                                    make_round_impl)
 
             def sdf_fn_nograd(pts):
                 return fused_sdf_mlp(
@@ -265,6 +267,7 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
                     pts)
 
             round_impl = make_round_impl(cfg.sampler)
+            conv_impl = make_conv_check_impl(cfg.sampler)
         else:
             def sdf_fn_nograd(pts):
                 return mlp.sdf_vals(
@@ -273,7 +276,7 @@ def render_rays(params: dict, cfg: I2SDFConfig, inputs: dict, key,
 
     z_all, z_vals_bg, z_samples_eik = error_bound_z_vals(
         cfg.sampler, sdf_fn_nograd, k_sampler, ray_dirs, cam_loc, beta,
-        training, round_impl=round_impl)
+        training, round_impl=round_impl, conv_impl=conv_impl)
 
     z_max = z_all[:, -1]
     z_vals = z_all[:, :-1]

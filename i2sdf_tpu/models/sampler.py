@@ -212,13 +212,18 @@ def round_update(cfg: SamplerConfig, z_vals, sdf, beta, beta0, u,
 
 
 def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
-                       beta0, training: bool, round_impl=None):
+                       beta0, training: bool, round_impl=None,
+                       conv_impl=None):
     """Adaptive sampling: returns (z_vals, z_vals_bg | None, z_samples_eik).
 
     ray_dirs: (R, 3) unit directions; cam_loc: (R, 3); beta0: scalar
     (current learned beta, already |.|+beta_min). `training` is static.
     `round_impl` overrides the per-round refinement math (signature of
-    `round_update` minus cfg; used for the Pallas kernel).
+    `round_update` minus cfg; used for the Pallas kernel); `conv_impl`
+    overrides the per-round convergence check
+    (`(z_vals, sdf, beta0) -> (R,) bool`, used for the fused Pallas
+    check — the XLA d*/prefix-sum check costs ~0.5 ms of fusion soup
+    per round at the shipped shapes).
     """
     R = ray_dirs.shape[0]
     keys = jax.random.split(key, cfg.max_total_iters + 4)
@@ -334,15 +339,18 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
         # --- convergence check (reference's beta0 bound,
         #     ray_sampler.py:121-122,151) -----------------------------------
         if cfg.early_exit:
+            if conv_impl is not None:
+                check = lambda z, s: conv_impl(z, s, beta0)  # noqa: E731
+            else:
+                def check(z, s):
+                    d_star, dists = _d_star(z, s)
+                    err = _get_error_bound(beta0, s, z, dists, d_star)
+                    return err <= cfg.eps
             if s_sel is not None:
                 # only refined rows can change convergence status
-                d_star, dists = _d_star(z_sel, s_sel)
-                err = _get_error_bound(beta0, s_sel, z_sel, dists, d_star)
-                conv_ray = conv_ray.at[sel].set(err <= cfg.eps)
+                conv_ray = conv_ray.at[sel].set(check(z_sel, s_sel))
             else:
-                d_star, dists = _d_star(z_vals, sdf)
-                err = _get_error_bound(beta0, sdf, z_vals, dists, d_star)
-                conv_ray = err <= cfg.eps
+                conv_ray = check(z_vals, sdf)
             converged = jnp.all(conv_ray)
 
         # --- emit next round's samples ------------------------------------

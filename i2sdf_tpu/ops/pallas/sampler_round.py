@@ -56,7 +56,7 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
     inside VMEM."""
 
     def kernel(z_ref, sdf_ref, beta_ref, u_ref, beta0_ref,
-               samples_ref, beta_out_ref):
+               samples_ref, beta_out_ref, cdf_ref):
         z = z_ref[:]              # (BR, S) f32
         s = sdf_ref[:]
         beta_in = beta_ref[:]     # (BR, 1)
@@ -163,20 +163,24 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
         total = jnp.sum(pdf, axis=-1, keepdims=True)
         pdf = jnp.where(total > 0.0, pdf / jnp.maximum(total, 1e-30),
                         jnp.where(is_last, 0.0, 1.0 / (S - 1)))
-        cdf = excl_exact(pdf)  # cdf[t] = sum_{j<t}; cdf[0]=0, cdf[-1]~1
+        cdf_ref[:] = excl_exact(pdf)  # cdf[t]=sum_{j<t}; cdf[0]=0, cdf[-1]~1
 
         # --- gather-free inverse CDF -------------------------------------
-        # looped over `sample_rows`-row subgroups: the (rows, N, 128)
-        # masked-reduction temporaries are the VMEM high-water mark, so
-        # they stay at the historical 8-row size while the matmul phase
-        # above enjoys the full block.
+        # `sample_rows`-row subgroups under a fori_loop: the
+        # (rows, N, 128) masked-reduction temporaries are the VMEM
+        # high-water mark, and a python-unrolled loop lets Mosaic keep
+        # every subgroup's temporaries live at once (measured 17.8 MB
+        # at a 64-row block) — the sequential loop bounds VMEM to one
+        # subgroup so the matmul phase above can enjoy a full block.
         neg_inf = jnp.float32(-jnp.inf)
         pos_inf = jnp.float32(jnp.inf)
-        for g0 in range(0, block_rows, sample_rows):
-            g1 = g0 + sample_rows
-            u = u_ref[g0:g1]  # (G, N)
-            cdf_g = cdf[g0:g1]
-            z_g = z[g0:g1]
+
+        def body(i, _):
+            g0 = i * sample_rows
+            rows = pl.ds(g0, sample_rows)
+            u = u_ref[rows, :]
+            cdf_g = cdf_ref[rows, :]
+            z_g = z_ref[rows, :]
             cdf_last = cdf_g[:, S - 1:]   # (G, 1)
             z_last = z_g[:, S - 1:]
             cb = jnp.full_like(u, neg_inf)
@@ -198,7 +202,11 @@ def _make_kernel(S: int, n_out: int, beta_iters: int, eps: float,
             denom = ca - cb
             denom = jnp.where(denom < 1e-5, 1.0, denom)
             t = (u - cb) / denom
-            samples_ref[g0:g1] = bb + t * (ba - bb)
+            samples_ref[pl.ds(g0, sample_rows), :] = bb + t * (ba - bb)
+            return 0
+
+        jax.lax.fori_loop(0, block_rows // sample_rows, body, 0,
+                          unroll=False)
 
     return kernel
 
@@ -214,11 +222,6 @@ def sampler_round_pallas(z_vals, sdf, beta, u, beta0, *, beta_iters: int,
     """(samples (R, N), beta (R,)) — kernel form of round_update."""
     R, S = z_vals.shape
     n_out = u.shape[1]
-    # the (BR, S) live set + (S, S) triangle must fit the 16 MB scoped
-    # VMEM: at S=640 a 64-row block measures 17.8 MB — halve the block
-    # for the widest rounds
-    if S > 512:
-        block_rows = min(block_rows, 32)
     block_rows = min(block_rows, _round_up(R, sample_rows))
     sample_rows = min(sample_rows, block_rows)
     if block_rows % sample_rows:
@@ -268,6 +271,7 @@ def sampler_round_pallas(z_vals, sdf, beta, u, beta0, *, beta_iters: int,
             jax.ShapeDtypeStruct((r_pad, n_out), jnp.float32),
             jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((block_rows, S), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * r_pad * S * S * (2 * (beta_iters + 1) + 2),
             bytes_accessed=r_pad * S * 8,
@@ -276,6 +280,132 @@ def sampler_round_pallas(z_vals, sdf, beta, u, beta0, *, beta_iters: int,
     )(z_p, sdf_p, beta_p, u_p,
       jnp.asarray(beta0, jnp.float32).reshape(1, 1))
     return samples[:R], beta_out[:R, 0]
+
+
+def _make_conv_kernel(S: int, eps: float, block_rows: int):
+    """Per-ray convergence check (error bound at beta0 <= eps) — the
+    d* + error-bound slice of the round kernel, as its own tiny launch.
+    Replaces the per-round XLA check in `error_bound_z_vals`
+    (models/sampler.py, parity ray_sampler.py:121-122,151), whose
+    prefix sums + reductions cost ~0.5 ms of fusion soup per round.
+    Uses hi/lo-split bf16 prefix matmuls to match the XLA path's
+    `ops.sampling.prefix_sum` accuracy."""
+
+    def kernel(z_ref, sdf_ref, beta0_ref, conv_ref):
+        z = z_ref[:]
+        s = sdf_ref[:]
+        beta0 = beta0_ref[0, 0]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block_rows, S), 1)
+        is_last = lane == S - 1
+        z_next = jnp.concatenate(
+            [z[:, 1:], jnp.zeros((block_rows, 1), z.dtype)], axis=1)
+        s_next = jnp.concatenate(
+            [s[:, 1:], jnp.zeros((block_rows, 1), s.dtype)], axis=1)
+        dists_m = jnp.where(is_last, 0.0, z_next - z)
+
+        a = dists_m
+        b = jnp.abs(s)
+        c = jnp.abs(s_next)
+        first_cond = a * a + b * b <= c * c
+        second_cond = a * a + c * c <= b * b
+        hs = (a + b + c) / 2.0
+        area = hs * (hs - a) * (hs - b) * (hs - c)
+        mask = (~first_cond) & (~second_cond) & (b + c - a > 0)
+        first_only = first_cond & (~second_cond)
+        heron = (2.0 * jnp.sqrt(jnp.maximum(area, 0.0))
+                 / jnp.maximum(a, 1e-12))
+        d_star = (first_only * b + second_cond * c + heron * mask)
+        d_star = jnp.where(
+            (jnp.sign(s_next) * jnp.sign(s) == 1) & (~is_last), d_star, 0.0)
+
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
+        tri_strict = (row_i < col_i).astype(jnp.bfloat16)
+
+        def excl_exact(x):
+            hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+            lo = (x - hi).astype(jnp.bfloat16)
+            return (jnp.dot(hi.astype(jnp.bfloat16), tri_strict,
+                            preferred_element_type=jnp.float32)
+                    + jnp.dot(lo, tri_strict,
+                              preferred_element_type=jnp.float32))
+
+        dens = _laplace(s, beta0)
+        e = jnp.where(is_last, 0.0, dists_m * dens)
+        err = jnp.where(
+            is_last, 0.0,
+            jnp.exp(-d_star / beta0) * dists_m * dists_m
+            / (4.0 * beta0 * beta0))
+        # both prefixes in one stacked hi/lo matmul pair
+        both = excl_exact(jnp.concatenate([e, err], axis=0))
+        integral_excl = both[:block_rows]
+        err_int = both[block_rows:] + err
+        bound = (jnp.minimum(jnp.exp(err_int), 1e6) - 1.0) * jnp.exp(
+            -integral_excl)
+        bound = jnp.where(is_last, -jnp.inf, bound)
+        max_bound = jnp.max(bound, axis=-1, keepdims=True)
+        conv_ref[:] = (max_bound <= eps).astype(jnp.float32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_rows", "interpret"))
+def conv_check_pallas(z_vals, sdf, beta0, *, eps: float,
+                      block_rows: int = 64, interpret: bool = False):
+    """Per-ray converged flags (R,) bool — error bound at beta0 <= eps."""
+    R, S = z_vals.shape
+    if S > 512:
+        block_rows = min(block_rows, 32)
+    block_rows = min(block_rows, _round_up(R, 8))
+    r_pad = _round_up(R, block_rows)
+
+    def pad(x, val=0.0):
+        return jnp.pad(x, ((0, r_pad - R), (0, 0)), constant_values=val)
+
+    z_p = pad(z_vals)
+    if r_pad != R:
+        filler_z = jnp.broadcast_to(
+            jnp.linspace(0.0, 1.0, S), (r_pad - R, S))
+        z_p = z_p.at[R:].set(filler_z)
+    sdf_p = pad(sdf, 1.0)
+
+    kernel = _make_conv_kernel(S, eps, block_rows)
+    conv = pl.pallas_call(
+        kernel,
+        grid=(r_pad // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r_pad * S * S * 4,
+            bytes_accessed=r_pad * S * 8,
+            transcendentals=r_pad * S * 3),
+        interpret=interpret,
+    )(z_p, sdf_p, jnp.asarray(beta0, jnp.float32).reshape(1, 1))
+    return conv[:R, 0] > 0.5
+
+
+def make_conv_check_impl(cfg, block_rows: int = 64,
+                         interpret: bool = False):
+    """`(z_vals, sdf, beta0) -> (R,) bool` for error_bound_z_vals."""
+    sg = jax.lax.stop_gradient
+
+    def impl(z_vals, sdf, beta0):
+        return conv_check_pallas(sg(z_vals), sg(sdf), sg(beta0),
+                                 eps=cfg.eps, block_rows=block_rows,
+                                 interpret=interpret)
+
+    return impl
 
 
 def make_round_impl(cfg, block_rows: int = 64, interpret: bool = False):

@@ -56,7 +56,8 @@ def main():
     from i2sdf_tpu.models import renderer
     from i2sdf_tpu.models.sampler import error_bound_z_vals
     from i2sdf_tpu.ops.pallas.fused_mlp import fused_sdf_mlp
-    from i2sdf_tpu.ops.pallas.sampler_round import (make_round_impl,
+    from i2sdf_tpu.ops.pallas.sampler_round import (make_conv_check_impl,
+                                                    make_round_impl,
                                                     sampler_round_pallas)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -136,12 +137,13 @@ def main():
         return fused_sdf_mlp(params["implicit"], cfg.implicit, pts)
 
     round_impl = make_round_impl(scfg)
+    conv_impl = make_conv_check_impl(scfg)
 
     @jax.jit
     def sampler_only(key, ray_dirs, cam_loc):
         z, zbg, zeik = error_bound_z_vals(
             scfg, sdf_fn, key, ray_dirs, cam_loc, args.beta, True,
-            round_impl=round_impl)
+            round_impl=round_impl, conv_impl=conv_impl)
         return z
 
     out["sampler_ms"] = timeit(sampler_only, key, ray_dirs, cam_loc,
@@ -156,7 +158,7 @@ def main():
     def sampler_cheap(key, ray_dirs, cam_loc):
         z, _, _ = error_bound_z_vals(
             scfg, cheap_sdf, key, ray_dirs, cam_loc, args.beta, True,
-            round_impl=round_impl)
+            round_impl=round_impl, conv_impl=conv_impl)
         return z
 
     out["sampler_cheap_sdf_ms"] = timeit(sampler_cheap, key, ray_dirs,

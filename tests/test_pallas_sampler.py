@@ -97,3 +97,24 @@ def test_kernel_cdf_edge_values():
                                atol=0.05)
     # u=1 lands on (or at) the last bin
     assert np.all(np.asarray(s_ker[:, 4:]) >= np.asarray(z[:, -2]).min())
+
+
+def test_conv_check_kernel_matches_xla():
+    """Fused convergence check vs the XLA d*/error-bound check."""
+    from i2sdf_tpu.models.sampler import _d_star, _get_error_bound
+    from i2sdf_tpu.ops.pallas.sampler_round import conv_check_pallas
+
+    for seed, beta0 in ((0, 0.1), (1, 0.02), (2, 0.4)):
+        z, sdf, _, _ = _round_inputs(R=37, S=128, seed=seed)
+        d_star, dists = _d_star(z, sdf)
+        err = _get_error_bound(beta0, sdf, z, dists, d_star)
+        ref = np.asarray(err <= CFG.eps)
+        ker = np.asarray(conv_check_pallas(z, sdf, beta0, eps=CFG.eps,
+                                           interpret=True))
+        # bf16-prefix rounding can only flip rays whose bound sits on
+        # the eps boundary; everything else must agree exactly
+        disagree = ref != ker
+        if disagree.any():
+            margin = np.abs(np.asarray(err)[disagree] - CFG.eps)
+            assert margin.max() < 0.02 * CFG.eps
+        assert disagree.mean() <= 0.05
