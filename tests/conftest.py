@@ -118,6 +118,7 @@ _SLOW_NODES = (
     "test_renderer.py::test_fused_train_grad_v3_matches_xla",
     "test_train_step.py::test_bubble_step_updates_pdf",
     "test_sampler.py::test_shapes_sorted_in_range",
+    "test_crossfw.py",
 )
 
 
