@@ -332,7 +332,7 @@ class _RelightContext:
 
     def __init__(self, params, model_cfg, conf, data_root, n_emitters,
                  emitter_scale, spp, vis_steps, fused, material,
-                 full_res=False, edit_conf=None):
+                 full_res=False, edit_conf=None, indirect_spp=None):
         self.params = params
         self.model_cfg = model_cfg
         dataset_conf = dict(conf.dataset)
@@ -416,17 +416,44 @@ class _RelightContext:
         layer_cfg = RenderingLayerConfig(spp=spp)
         emitters = self.emitters
 
+        # one-bounce indirect from the trained radiance field (the
+        # reference editing design's `get_incident_radiance`,
+        # `/root/reference/model/rendering/__init__.py:42,75-78`;
+        # models/indirect.py): secondary cosine-sampled rays that miss
+        # every emitter pick up the field's radiance at their SDF hit.
+        # Config: `material.indirect_spp` (or the explicit arg); 0 keeps
+        # the constant-ambient approximation. Note the field shades with
+        # the ORIGINAL materials — after a material edit the bounce is
+        # one edit behind, the inherent one-bounce-from-field limit.
+        if indirect_spp is None:
+            indirect_spp = int((conf.get("material", {}) or {})
+                               .get("indirect_spp", 0))
+        self.indirect_spp = indirect_spp
+        if indirect_spp > 0:
+            from ..models.indirect import (indirect_irradiance,
+                                           make_field_radiance_fn)
+
+            field_fn = make_field_radiance_fn(params, model_cfg)
+            print(f"[relight] one-bounce field indirect at "
+                  f"{indirect_spp} spp")
+
         @jax.jit
         def shade_chunk(key, pts, normals, view_dirs, kd, ks, rough):
             # next-event estimation (shade_emitters): guaranteed emitter
             # hits — far lower variance than BRDF sampling at equal spp
             # for compact lights (measured ~450x at spp 8)
-            out = shade_emitters(layer_cfg, key, pts, normals, view_dirs,
-                                 kd, ks, rough, emitters.centers,
-                                 emitters.radii, emitters.radiance,
-                                 visibility_fn=vis_fn)
-            out["color_diffuse"] = (out["color_diffuse"]
-                                    + kd * ambient[None])
+            k_nee, k_ind = jax.random.split(key)
+            out = shade_emitters(layer_cfg, k_nee, pts, normals,
+                                 view_dirs, kd, ks, rough,
+                                 emitters.centers, emitters.radii,
+                                 emitters.radiance, visibility_fn=vis_fn)
+            irr = jnp.broadcast_to(ambient[None], pts.shape)
+            if indirect_spp > 0:
+                irr = irr + indirect_irradiance(
+                    field_fn, k_ind, pts, normals, spp=indirect_spp,
+                    emitter_centers=emitters.centers,
+                    emitter_radii=emitters.radii)
+            out["color_diffuse"] = out["color_diffuse"] + kd * irr
             return out
 
         self.shade_chunk = shade_chunk
@@ -511,7 +538,7 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
                 edit_conf: dict | None = None, fused: bool | None = None,
                 full_res: bool = False, chunk: int = 4096,
                 vis_steps: int = 32, seed: int = 0,
-                material=None) -> dict:
+                material=None, indirect_spp: int | None = None) -> dict:
     """Render relit images for every (or `indices`) viewpoint. Writes
     `eval/relight/{tag}_relit.png|_diffuse.png|_specular.png` and
     returns the emitter summary.
@@ -523,7 +550,8 @@ def run_relight(params, model_cfg, conf, exp_dir: str,
     ks). This is the full recon -> material -> edit pipeline."""
     ctx = _RelightContext(params, model_cfg, conf, data_root, n_emitters,
                           emitter_scale, spp, vis_steps, fused, material,
-                          full_res=full_res, edit_conf=edit_conf)
+                          full_res=full_res, edit_conf=edit_conf,
+                          indirect_spp=indirect_spp)
     pd = RelightData(scan_id=ctx.scan_id, data_root=data_root,
                      downsample=ctx.downsample, indices=indices,
                      plot_nimgs=-1, edit_conf=edit_conf,
@@ -566,7 +594,8 @@ def run_relight_video(params, model_cfg, conf, exp_dir: str,
                       fused: bool | None = None, full_res: bool = False,
                       chunk: int = 4096,
                       vis_steps: int = 32, seed: int = 0,
-                      material=None) -> dict:
+                      material=None,
+                      indirect_spp: int | None = None) -> dict:
     """Relit flythrough between two training poses (the reference's
     RelightVideoDataset, `/root/reference/dataset/eval_dataset.py:341-374`,
     driven by a renderer its editing branch never shipped): slerp+lerp
@@ -576,7 +605,8 @@ def run_relight_video(params, model_cfg, conf, exp_dir: str,
 
     ctx = _RelightContext(params, model_cfg, conf, data_root, n_emitters,
                           emitter_scale, spp, vis_steps, fused, material,
-                          full_res=full_res, edit_conf=edit_conf)
+                          full_res=full_res, edit_conf=edit_conf,
+                          indirect_spp=indirect_spp)
     pd = RelightVideoData(scan_id=ctx.scan_id, data_root=data_root,
                           downsample=ctx.downsample, plot_nimgs=-1,
                           edit_conf=edit_conf, id0=id0, id1=id1,

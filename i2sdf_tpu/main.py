@@ -68,6 +68,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(keys: mask/normal/rough/kd/ks -> image paths)")
     p.add_argument("--n_emitters", type=int, default=1)
     p.add_argument("--emitter_scale", type=float, default=1.0)
+    p.add_argument("--indirect_spp", type=int, default=None,
+                   help="relight: one-bounce indirect samples per "
+                        "shading point from the trained radiance field "
+                        "(default: the `material.indirect_spp` config "
+                        "key; 0 = constant-ambient approximation)")
     p.add_argument("--material", action="store_true",
                    help="train the material stage (intrinsic "
                         "decomposition) on top of this experiment's "
@@ -237,7 +242,8 @@ def main(argv=None) -> int:
                               emitter_scale=args.emitter_scale,
                               edit_conf=edit_conf, fused=fused,
                               full_res=args.full_res,
-                              seed=args.seed, material=material)
+                              seed=args.seed, material=material,
+                              indirect_spp=args.indirect_spp)
         else:
             run_relight(params, model_cfg, conf, exp_dir,
                         data_root=args.data_root, indices=args.indices,
@@ -245,7 +251,8 @@ def main(argv=None) -> int:
                         emitter_scale=args.emitter_scale,
                         edit_conf=edit_conf, fused=fused,
                         full_res=args.full_res, seed=args.seed,
-                        material=material)
+                        material=material,
+                        indirect_spp=args.indirect_spp)
     return 0
 
 

@@ -100,6 +100,15 @@ class MaterialTrainConfig:
     # a missing factor of 20 (measured on the demo scene: point-light
     # equivalence needs Li ~ 40 where the pixel mean suggested ~2).
     calibrate_emission: bool = True
+    # one-bounce indirect lighting from the trained radiance field
+    # (models/indirect.py — the reference editing design's
+    # `get_incident_radiance`, completed). 0 keeps the constant learned
+    # ambient only; >0 bakes `indirect_spp` cosine-sampled secondary
+    # rays per surface sample ONCE (field is frozen, so the bake is a
+    # constant of the optimization) and shades kd*(ambient + e_ind).
+    indirect_spp: int = 0
+    indirect_steps: int = 48  # sphere-trace budget per secondary ray
+    indirect_chunk: int = 4096
     n_emitters: int = 1
     emitter_scale: float = 1.0
     diffuse_model: str = "lambert"
@@ -281,24 +290,29 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
         return sphere_trace_visibility(vis_sdf, pts, dirs, t_max,
                                        n_steps=tcfg.vis_steps)
 
-    def predict_with(lcfg, params, key, pts, normals, view_dirs):
+    def predict_with(lcfg, params, key, pts, normals, view_dirs,
+                     e_ind=None):
         mats = material_net_apply(params["material"], mat_cfg, pts)
         radiance = emission_apply(params["emission"])
         out = shade_emitters(lcfg, key, pts, normals, view_dirs,
                              mats["kd"], mats["ks"], mats["rough"],
                              centers, radii, radiance,
                              visibility_fn=visibility)
-        # learnable ambient irradiance: the indirect-light approximation
-        # (kd * A); see models/material.py::emission_init
-        ambient = mats["kd"] * ambient_apply(params["emission"])[None]
+        # indirect light = baked one-bounce field irradiance (e_ind,
+        # models/indirect.py) when supplied, plus the learnable ambient
+        # residual (kd * A); see models/material.py::emission_init
+        irr = ambient_apply(params["emission"])[None]
+        if e_ind is not None:
+            irr = irr + e_ind
+        ambient = mats["kd"] * irr
         return (out["color_diffuse"] + out["color_specular"] + ambient,
                 mats)
 
-    def predict(params, key, pts, normals, view_dirs):
+    def predict(params, key, pts, normals, view_dirs, e_ind=None):
         return predict_with(layer_cfg, params, key, pts, normals,
-                            view_dirs)
+                            view_dirs, e_ind=e_ind)
 
-    def loss_fn(params, key, pts, normals, view_dirs, gt):
+    def loss_fn(params, key, pts, normals, view_dirs, gt, e_ind=None):
         k_a, k_b, k_jit = jax.random.split(key, 3)
         # Dual-buffer MSE: the prediction is a noisy MC estimate, so
         # neither L1 (matches the estimator's MEDIAN — right-skewed
@@ -310,9 +324,9 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
         # the gradient of the true-mean MSE (Mitsuba-style inverse
         # rendering practice; measured ~11%-low kd·L without it).
         pred_a, mats = predict_with(layer_half, params, k_a, pts,
-                                    normals, view_dirs)
+                                    normals, view_dirs, e_ind=e_ind)
         pred_b, _ = predict_with(layer_half, params, k_b, pts,
-                                 normals, view_dirs)
+                                 normals, view_dirs, e_ind=e_ind)
         res_a = jax.lax.stop_gradient(pred_a) - gt
         res_b = jax.lax.stop_gradient(pred_b) - gt
         if tcfg.relative_mse:
@@ -347,7 +361,7 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
         batch = {k: jnp.take(v, idx, axis=0) for k, v in buffers.items()}
         pred, _ = predict(params, jax.random.fold_in(key, 1),
                           batch["points"], batch["normals"],
-                          batch["view_dirs"])
+                          batch["view_dirs"], e_ind=batch.get("e_ind"))
         scale = (jnp.clip(batch["rgb"].mean(0), 1e-6, None)
                  / jnp.clip(pred.mean(0), 1e-6, None))
         log_s = jnp.log(scale)
@@ -373,7 +387,8 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
                 batch)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, k_loss, batch["points"], batch["normals"],
-            batch["view_dirs"], batch["rgb"])
+            batch["view_dirs"], batch["rgb"],
+            e_ind=batch.get("e_ind"))
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.params)
         params = optax.apply_updates(state.params, updates)
@@ -490,6 +505,42 @@ class MaterialTrainer:
             g["valid"] = g["valid"] & _outside_emitters(
                 np.asarray(g["points"]))
 
+        # one-bounce indirect irradiance from the trained field, baked
+        # once (the field is frozen — see models/indirect.py docstring).
+        # Per-step cost of indirect lighting is then a single multiply.
+        if self.tcfg.indirect_spp > 0:
+            from ..models.indirect import (bake_indirect_irradiance,
+                                           make_field_radiance_fn)
+
+            field_fn = make_field_radiance_fn(
+                recon_params, model_cfg,
+                n_steps=self.tcfg.indirect_steps)
+            self.key, k_ind = jax.random.split(self.key)
+            t_ind = time.time()
+            self.buffers["e_ind"] = jnp.asarray(bake_indirect_irradiance(
+                field_fn, k_ind, self.buffers["points"],
+                self.buffers["normals"], spp=self.tcfg.indirect_spp,
+                emitter_centers=self.emitters.centers,
+                emitter_radii=self.emitters.radii,
+                chunk=self.tcfg.indirect_chunk))
+            for i, g in enumerate(self.per_image):
+                sel = g["valid"]
+                e_full = np.zeros_like(g["points"], dtype=np.float32)
+                if sel.any():
+                    e_full[sel] = bake_indirect_irradiance(
+                        field_fn, jax.random.fold_in(k_ind, 1000 + i),
+                        g["points"][sel], g["normals"][sel],
+                        spp=self.tcfg.indirect_spp,
+                        emitter_centers=self.emitters.centers,
+                        emitter_radii=self.emitters.radii,
+                        chunk=self.tcfg.indirect_chunk)
+                g["e_ind"] = e_full
+            mean_e = np.asarray(self.buffers["e_ind"]).mean(0)
+            print(f"[material] baked one-bounce indirect irradiance "
+                  f"({self.tcfg.indirect_spp} spp) in "
+                  f"{time.time() - t_ind:.1f}s; mean = "
+                  f"{np.round(mean_e, 4).tolist()}")
+
         self.key, k_init = jax.random.split(self.key)
         params = {
             "material": material_net_init(k_init, self.mat_cfg),
@@ -577,8 +628,10 @@ class MaterialTrainer:
             predict = self.predict_fn
 
             @jax.jit
-            def eval_chunk(params, key, pts, normals, view_dirs):
-                pred, mats = predict(params, key, pts, normals, view_dirs)
+            def eval_chunk(params, key, pts, normals, view_dirs,
+                           e_ind=None):
+                pred, mats = predict(params, key, pts, normals, view_dirs,
+                                     e_ind=e_ind)
                 return pred, mats["kd"], mats["rough"]
 
             self._eval_chunk = eval_chunk
@@ -593,9 +646,10 @@ class MaterialTrainer:
                 return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
             self.key, k = jax.random.split(self.key)
+            e_ind_c = (padded(g["e_ind"]) if "e_ind" in g else None)
             pred, kd_c, rough_c = self._eval_chunk(
                 params, k, padded(g["points"]), padded(g["normals"]),
-                padded(g["view_dirs"]))
+                padded(g["view_dirs"]), e_ind=e_ind_c)
             render[s:e] = np.asarray(pred)[: e - s]
             kd[s:e] = np.asarray(kd_c)[: e - s]
             rough[s:e] = np.asarray(rough_c)[: e - s]

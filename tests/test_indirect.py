@@ -1,0 +1,206 @@
+"""One-bounce indirect lighting (models/indirect.py).
+
+The reference's editing design shades secondary rays through
+``model.get_incident_radiance``
+(`/root/reference/model/rendering/__init__.py:42,75-78`); these tests
+pin the TPU-native completion: the fixed-shape sphere-trace hit query,
+the trained-field radiance closure, and the cosine-hemisphere
+irradiance bake (emitter exclusion + ambient fallback) against
+closed-form values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from i2sdf_tpu.models import indirect
+
+
+def _unit(v):
+    v = np.asarray(v, np.float32)
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def _sphere_sdf(center, radius):
+    c = jnp.asarray(center, jnp.float32)
+
+    def f(pts):
+        return jnp.linalg.norm(pts - c[None], axis=-1) - radius
+
+    return f
+
+
+# ---------------------------------------------------------------------------
+# sphere_trace_hit
+# ---------------------------------------------------------------------------
+
+
+def test_trace_hits_analytic_sphere():
+    sdf = _sphere_sdf([0.0, 0.0, 3.0], 1.0)
+    origins = jnp.zeros((4, 3), jnp.float32)
+    dirs = jnp.asarray(_unit([[0, 0, 1]] * 4))
+    t, hit = indirect.sphere_trace_hit(sdf, origins, dirs, t_max=8.0)
+    assert bool(np.all(np.asarray(hit)))
+    # first intersection at t = 3 - 1 = 2
+    np.testing.assert_allclose(np.asarray(t), 2.0, atol=5e-3)
+
+
+def test_trace_miss_reports_escape():
+    sdf = _sphere_sdf([0.0, 0.0, 3.0], 1.0)
+    origins = jnp.zeros((3, 3), jnp.float32)
+    dirs = jnp.asarray(_unit([[0, 0, -1], [1, 0, 0], [0, 1, 0]]))
+    t, hit = indirect.sphere_trace_hit(sdf, origins, dirs, t_max=8.0)
+    assert not bool(np.any(np.asarray(hit)))
+    np.testing.assert_allclose(np.asarray(t), 8.0, atol=1e-5)
+
+
+def test_trace_hits_room_interior():
+    """Inside-out: a room (negated box ~ sphere here) hit from inside."""
+    # interior of a radius-2 sphere: sdf = 2 - |p| (positive inside)
+    def sdf(pts):
+        return 2.0 - jnp.linalg.norm(pts, axis=-1)
+
+    rng = np.random.default_rng(0)
+    dirs = jnp.asarray(_unit(rng.normal(size=(32, 3))))
+    origins = jnp.zeros((32, 3), jnp.float32)
+    t, hit = indirect.sphere_trace_hit(sdf, origins, dirs, t_max=8.0)
+    assert bool(np.all(np.asarray(hit)))
+    np.testing.assert_allclose(np.asarray(t), 2.0, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# indirect_irradiance (closed forms with injected field_fn)
+# ---------------------------------------------------------------------------
+
+
+def test_constant_field_integrates_exactly():
+    """Constant surrounding radiance L: cosine-weighted E[Li] = L for
+    every spp (the pdf cancels cosine and 1/pi)."""
+    L = jnp.asarray([0.3, 0.5, 0.7])
+
+    def field_fn(points, dirs):
+        rgb = jnp.broadcast_to(L[None], points.shape)
+        hit = jnp.ones(points.shape[0], bool)
+        return rgb, hit, points + dirs  # hit pts irrelevant
+
+    pts = jnp.zeros((16, 3), jnp.float32)
+    nrm = jnp.asarray(_unit(np.random.default_rng(1).normal(size=(16, 3))))
+    e = indirect.indirect_irradiance(field_fn, jax.random.PRNGKey(0),
+                                     pts, nrm, spp=4)
+    np.testing.assert_allclose(
+        np.asarray(e), np.tile(np.asarray(L), (16, 1)), atol=1e-6)
+
+
+def test_half_space_field_integrates_to_half():
+    """Li = 1 only for directions with l.a > 0, a orthogonal to n:
+    cosine-weighted integral = 0.5 by symmetry."""
+    a = jnp.asarray([1.0, 0.0, 0.0])
+
+    def field_fn(points, dirs):
+        on = (jnp.sum(dirs * a[None], -1) > 0).astype(jnp.float32)
+        rgb = jnp.repeat(on[:, None], 3, axis=1)
+        return rgb, jnp.ones(points.shape[0], bool), points
+
+    n_pts = 512
+    pts = jnp.zeros((n_pts, 3), jnp.float32)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n_pts, 3))
+    e = indirect.indirect_irradiance(field_fn, jax.random.PRNGKey(2),
+                                     pts, nrm, spp=64)
+    np.testing.assert_allclose(float(np.asarray(e).mean()), 0.5, atol=0.02)
+
+
+def test_emitter_hits_excluded_and_ambient_fallback():
+    """Rays that land inside an emitter ball contribute 0 (NEE owns
+    direct light); escaped rays return the ambient fallback."""
+    emitter_c = jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32)
+    emitter_r = jnp.asarray([10.0], jnp.float32)  # swallows every hit
+
+    def field_all_hit(points, dirs):
+        rgb = jnp.ones((points.shape[0], 3), jnp.float32)
+        return rgb, jnp.ones(points.shape[0], bool), points + 2.0 * dirs
+
+    pts = jnp.zeros((8, 3), jnp.float32)
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (8, 3))
+    e = indirect.indirect_irradiance(
+        field_all_hit, jax.random.PRNGKey(3), pts, nrm, spp=4,
+        emitter_centers=emitter_c, emitter_radii=emitter_r)
+    np.testing.assert_allclose(np.asarray(e), 0.0, atol=1e-7)
+
+    def field_all_miss(points, dirs):
+        rgb = jnp.full((points.shape[0], 3), 99.0, jnp.float32)
+        return rgb, jnp.zeros(points.shape[0], bool), points
+
+    amb = jnp.asarray([0.1, 0.2, 0.3])
+    e = indirect.indirect_irradiance(field_all_miss, jax.random.PRNGKey(4),
+                                     pts, nrm, spp=4, ambient=amb)
+    np.testing.assert_allclose(np.asarray(e),
+                               np.tile(np.asarray(amb), (8, 1)), atol=1e-6)
+
+
+def test_bake_matches_unchunked():
+    def field_fn(points, dirs):
+        rgb = jnp.abs(dirs)  # direction-dependent, deterministic
+        return rgb, jnp.ones(points.shape[0], bool), points
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(100, 3)).astype(np.float32)
+    nrm = _unit(rng.normal(size=(100, 3)))
+    key = jax.random.PRNGKey(6)
+    baked = indirect.bake_indirect_irradiance(field_fn, key, pts, nrm,
+                                              spp=4, chunk=32)
+    assert baked.shape == (100, 3)
+    # chunk 0 must equal a direct call with the same fold_in key
+    direct = indirect.indirect_irradiance(
+        field_fn, jax.random.fold_in(key, 0), jnp.asarray(pts[:32]),
+        jnp.asarray(nrm[:32]), spp=4)
+    np.testing.assert_allclose(baked[:32], np.asarray(direct), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# make_field_radiance_fn on a real (freshly initialized) model
+# ---------------------------------------------------------------------------
+
+
+def test_field_fn_traces_geometric_init_sphere():
+    """Geometric init makes the SDF approximately |x| - bias; a ray from
+    the origin must hit near t = bias and return finite radiance."""
+    from i2sdf_tpu.config import CfgNode
+    from i2sdf_tpu.models import renderer
+
+    cfg = renderer.I2SDFConfig.from_cfgnode(CfgNode({
+        "feature_vector_size": 64,
+        "scene_bounding_sphere": 4.0,
+        "implicit_network": {
+            "d_in": 3, "d_out": 1, "dims": [64] * 4,
+            "geometric_init": True, "bias": 1.0, "skip_in": [2],
+            "weight_norm": True, "embed_type": "positional",
+            "multires": 4,
+        },
+        "rendering_network": {
+            "mode": "nerf", "d_in": 3, "d_out": 3, "dims": [64] * 2,
+            "weight_norm": True, "embed_type": "positional",
+            "multires": 2,
+        },
+        "density": {"params_init": {"beta": 0.1}, "beta_min": 1e-4},
+        "ray_sampler": {"near": 0.0, "N_samples": 32, "N_samples_eval": 32,
+                        "N_samples_extra": 8},
+    }))
+    params = renderer.init(jax.random.PRNGKey(0), cfg)
+    field_fn = indirect.make_field_radiance_fn(params, cfg)
+    rng = np.random.default_rng(7)
+    dirs = jnp.asarray(_unit(rng.normal(size=(16, 3))))
+    pts = jnp.zeros((16, 3), jnp.float32)
+    rgb, hit, hit_pts = field_fn(pts, dirs)
+    assert bool(np.all(np.asarray(hit)))
+    # the PE-perturbed geometric-init surface sits near (not exactly at)
+    # radius `bias`; the sharp property is that hits lie ON the level set
+    r = np.linalg.norm(np.asarray(hit_pts), axis=-1)
+    np.testing.assert_allclose(r, 1.0, atol=0.5)
+    from i2sdf_tpu.models import mlp
+
+    s = np.asarray(mlp.sdf_vals(params["implicit"], cfg.implicit,
+                                hit_pts)[:, 0])
+    np.testing.assert_array_less(np.abs(s), 5e-3)
+    rgb = np.asarray(rgb)
+    assert np.all(np.isfinite(rgb)) and rgb.shape == (16, 3)
+    assert np.all(rgb >= 0.0) and np.all(rgb <= 1.0)  # sigmoid output

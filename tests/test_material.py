@@ -462,3 +462,85 @@ def test_write_ply_colors_roundtrip(tmp_path):
     v2, t2 = mesh_io.read_ply(p)
     np.testing.assert_allclose(v2, verts, atol=1e-6)
     np.testing.assert_array_equal(t2, tris)
+
+
+@pytest.mark.slow
+def test_train_step_indirect_irradiance_buffer():
+    """One-bounce indirect (VERDICT r2 #3): GT shaded with a spatially
+    VARYING indirect irradiance on top of emitter direct light. The
+    learnable constant ambient cannot represent the variation, so the
+    constant-ambient fit (A) must bias kd where the indirect light is
+    strong; supplying the baked `e_ind` buffer (B) restores the true
+    albedo. Asserts B's kd error is well below A's."""
+    key = jax.random.PRNGKey(3)
+    n_base, n_views = 128, 4
+    n_pts = n_base * n_views
+    k1, k2, key = jax.random.split(key, 3)
+    xy = jax.random.uniform(k1, (n_base, 2), minval=-1.0, maxval=1.0)
+    base = jnp.concatenate([xy, jnp.zeros((n_base, 1))], -1)
+    pts = jnp.repeat(base, n_views, axis=0)
+    normals = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n_pts, 1))
+    view = jax.random.normal(k2, (n_pts, 3))
+    view = view.at[:, 2].set(jnp.abs(view[:, 2]) + 0.4)
+    view = view / jnp.linalg.norm(view, axis=-1, keepdims=True)
+
+    centers = jnp.asarray([[0.0, 0.0, 1.5]])
+    radii = jnp.asarray([1.2])
+    true_rad = jnp.asarray([[2.0, 2.0, 2.0]])
+    true_kd = jnp.asarray([0.6, 0.3, 0.2])
+
+    # indirect irradiance ramps across x (mean ~0.5 in the red channel):
+    # a "red wall on the +x side" color-bleed stand-in
+    ramp = (pts[:, 0:1] + 1.0) * 0.5
+    e_gt = jnp.concatenate(
+        [1.0 * ramp, 0.3 * ramp, 0.1 * ramp], axis=-1)
+
+    from i2sdf_tpu.eval.relight import incident_radiance
+
+    def li(p, d):
+        return incident_radiance(empty_sdf, centers, radii, true_rad,
+                                 p, d, n_steps=4)
+
+    gt_cfg = RenderingLayerConfig(spp=256)
+    kd_gt = jnp.tile(true_kd[None], (n_pts, 1))
+    ks_gt = jnp.full((n_pts, 3), 0.04)
+    rough_gt = jnp.full((n_pts,), 0.7)
+    out = shade(gt_cfg, jax.random.PRNGKey(42), pts, normals, view,
+                kd_gt, ks_gt, rough_gt, li)
+    gt = out["color_diffuse"] + out["color_specular"] + kd_gt * e_gt
+
+    mat_cfg = MaterialNetConfig(dims=(32, 32), multires=2)
+    tcfg = MaterialTrainConfig(batch_size=256, spp=16, vis_steps=4,
+                               smooth_weight=1e-3, learning_rate=1e-2,
+                               steps=500, ks_prior_weight=0.05,
+                               calibrate_emission=False)
+
+    def fit(with_e_ind: bool):
+        params = {
+            "material": material_net_init(jax.random.PRNGKey(7), mat_cfg),
+            "emission": emission_init(true_rad),
+        }
+        state, tx = create_train_state(
+            params, learning_rate=tcfg.learning_rate,
+            decay_steps=tcfg.steps)
+        step, _, _ = make_material_train_step(mat_cfg, tcfg, empty_sdf,
+                                              centers, radii, tx)
+        buffers = {"points": pts, "normals": normals, "view_dirs": view,
+                   "rgb": gt}
+        if with_e_ind:
+            buffers["e_ind"] = e_gt
+        k = jax.random.PRNGKey(11)
+        for _ in range(tcfg.steps):
+            k, ks = jax.random.split(k)
+            state, metrics = step(state, buffers, k)
+        mats = material_net_apply(state.params["material"], mat_cfg, base)
+        learned_rad = emission_apply(state.params["emission"])[0]
+        prod = np.asarray(mats["kd"]) * np.asarray(learned_rad)[None]
+        true_prod = np.asarray(true_kd)[None] * np.asarray(true_rad[0])
+        # per-point product error: spatial bias shows up here
+        return float(np.abs(prod - true_prod).mean())
+
+    err_b = fit(True)
+    err_a = fit(False)
+    assert err_b < 0.6 * err_a, (err_a, err_b)
+    assert err_b < 0.15, err_b
