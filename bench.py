@@ -35,8 +35,14 @@ default 1800), BENCH_ALLOW_CPU=1 (permit a CPU-backend measurement as
 a last resort — off by default because a CPU number is not the
 headline metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}
-(+ diagnostic keys: "platform", "error"/"attempts" on failure).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} —
+the PEAK (shipped-config init, beta=0.1) rate — plus the honest pair
+(VERDICT r2 #1/#7): "sustained_rays_per_sec"/"sustained_vs_baseline"
+(schedule-weighted over the beta ladder, i.e. what a full 200k run
+actually averages), "step_ms_by_beta", and "mfu_sustained" (XLA FLOP
+count / dominant-regime step time / v5e bf16 peak). Diagnostic keys:
+"platform", "error"/"attempts" on failure. BENCH_SUSTAINED=0 skips the
+ladder.
 """
 
 import json
@@ -319,6 +325,63 @@ def child_main():
         # cross-checks it against the probe's pick)
         "platform": jax.default_backend(),
     }
+
+    # ---- schedule-weighted sustained + step MFU (VERDICT r2 #1/#7) ----
+    # The learned beta decays 0.1 -> ~1e-3 over the 200k schedule and the
+    # sampler's cost regime changes with it (early global exit at large
+    # beta; all 5 rounds at small beta). beta is a PARAMETER of the one
+    # compiled program, so the ladder re-times the same executable with
+    # the beta leaf overwritten — no recompiles. Weights = fraction of
+    # the 200k run spent in each beta decade (BASELINE.md, from the
+    # quality run's TB beta curve). Skipped on CPU (BENCH_SUSTAINED=0
+    # also skips): the ladder would add minutes for a non-headline
+    # number.
+    want_sustained = os.environ.get("BENCH_SUSTAINED", "1") == "1"
+    if want_sustained and jax.default_backend() != "cpu":
+        ladder = ((0.1, 0.01), (0.03, 0.03), (0.01, 0.08),
+                  (0.003, 0.28), (0.001, 0.60))
+        n_sus = max(n_steps // 2, 5)
+        by_beta = {}
+        for b, _ in ladder:
+            state = state._replace(
+                params={**state.params,
+                        "beta": jnp.asarray(float(b), jnp.float32)})
+            key, k = jax.random.split(key)  # warm this beta regime
+            state, metrics = step(state, data, k, w)
+            float(metrics["loss"])
+            t0 = time.perf_counter()
+            for _ in range(n_sus):
+                key, k = jax.random.split(key)
+                state, metrics = step(state, data, k, w)
+            assert np.isfinite(float(metrics["loss"]))
+            by_beta[b] = (time.perf_counter() - t0) / n_sus * 1e3
+        wavg_ms = sum(by_beta[b] * wt for b, wt in ladder)
+        sustained = batch_size / wavg_ms * 1e3
+        result["sustained_rays_per_sec"] = round(sustained, 1)
+        result["sustained_vs_baseline"] = round(
+            sustained / BASELINE_RAYS_PER_SEC, 3)
+        result["step_ms_by_beta"] = {str(b): round(ms, 2)
+                                     for b, ms in by_beta.items()}
+
+        # MFU: XLA's own FLOP count for the compiled step (includes the
+        # Pallas kernels' cost annotations) over the DOMINANT-regime
+        # (beta=1e-3, 60% of the schedule, all 5 sampler rounds) wall
+        # time, against the v5e bf16 peak. The step mixes f32 and bf16,
+        # so this is the conventional bf16-peak MFU, a lower bound on
+        # utilization.
+        try:
+            ca = step.lower(state, data, k, w).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+            peak = 197e12  # TPU v5e bf16 peak FLOP/s
+            if flops > 0:
+                result["flops_per_step"] = flops
+                result["mfu_sustained"] = round(
+                    flops / (by_beta[0.001] * 1e-3) / peak, 4)
+        except Exception as e:  # cost analysis is best-effort
+            result["mfu_error"] = str(e)[-200:]
+
     print(json.dumps(result))
     return 0
 
