@@ -203,8 +203,20 @@ def main() -> int:
     ok = ok and bool(np.isfinite(corr).all()
                      and corr[0] > 0.45 and min(corr) > 0.25)
 
-    print(json.dumps({
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                cwd=repo, capture_output=True,
+                                text=True).stdout.strip()
+    except Exception:
+        commit = "unknown"
+    result = {
         "ok": ok, "platform": jax.default_backend(),
+        "device": str(jax.devices()[0]), "commit": commit,
+        "gate_steps": steps, "recovery_steps": rec_steps,
+        "batch_size": 1024, "spp": 8,
         "probe_rel_mse_before": round(probe_before, 5),
         "probe_rel_mse_after": round(probe_after, 5),
         "rgb_loss_first5": round(early, 5), "rgb_loss_last5": round(late, 5),
@@ -212,7 +224,14 @@ def main() -> int:
         "baked_points": int(mt.buffers["points"].shape[0]),
         "recovery_rgb_loss_last5": round(float(np.mean(r2_losses[-5:])), 5),
         "albedo_corr_rgb": [round(c, 3) for c in corr],
-    }))
+    }
+    print(json.dumps(result))
+    out = os.environ.get(
+        "MAT_CHECK_OUT",
+        os.path.join(repo, "docs", "evidence", "material_check_tpu.json"))
+    if jax.default_backend() != "cpu":  # evidence file is the TPU gate
+        with open(out, "w") as f:
+            json.dump(result, f, indent=1)
     return 0 if ok else 1
 
 
