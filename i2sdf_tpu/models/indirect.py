@@ -139,6 +139,68 @@ def indirect_irradiance(field_fn, key, points, normals, spp: int = 16,
     return total / spp
 
 
+def smooth_irradiance(points, normals, e_ind, k: int = 16,
+                      radius: float = 0.25, normal_gate: float = 0.7,
+                      chunk: int = 1024, query_points=None,
+                      query_normals=None):
+    """Irradiance-cache-style denoise of a baked irradiance buffer:
+    each query point's irradiance is a distance-weighted average over
+    its k nearest baked reference samples with compatible normals.
+
+    Indirect irradiance is low-frequency in position (it is a
+    hemisphere integral), so neighbor averaging cuts the bake's MC
+    noise ~sqrt(k) without losing the spatial signal — measured on the
+    red-wall A/B: per-point correlation of two independent spp-64 bakes
+    was 0.30 (noise-dominated); smoothing restores it (see
+    tests/test_indirect.py::test_smoothing_recovers_signal). The
+    normal gate keeps irradiance from bleeding across edges (floor vs
+    wall at a corner see different hemispheres).
+
+    `query_points`/`query_normals` default to the reference set
+    (self-smoothing); pass a different set to interpolate the cache at
+    new locations (the per-image validation buffers).
+    """
+    points = jnp.asarray(points, jnp.float32)
+    nrm = jnp.asarray(normals, jnp.float32)
+    nrm = nrm / jnp.maximum(
+        jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-9)
+    e_ind = jnp.asarray(e_ind, jnp.float32)
+    if query_points is None:
+        qp, qn = points, nrm
+    else:
+        qp = jnp.asarray(query_points, jnp.float32)
+        qn = jnp.asarray(query_normals, jnp.float32)
+        qn = qn / jnp.maximum(
+            jnp.linalg.norm(qn, axis=-1, keepdims=True), 1e-9)
+    k = min(k, int(points.shape[0]))
+
+    @jax.jit
+    def one_chunk(pc, nc):
+        d2 = jnp.sum((pc[:, None, :] - points[None, :, :]) ** 2, -1)
+        ok = (jnp.einsum("cd,nd->cn", nc, nrm) > normal_gate)
+        d2 = jnp.where(ok, d2, jnp.inf)
+        neg_d2, idx = jax.lax.top_k(-d2, k)
+        w = jnp.exp(neg_d2 / (radius * radius))  # exp(-d2/r^2)
+        w = jnp.where(jnp.isfinite(neg_d2), w, 0.0)
+        vals = jnp.take(e_ind, idx, axis=0)  # (c, k, 3)
+        wsum = jnp.maximum(w.sum(-1, keepdims=True), 1e-9)
+        return jnp.einsum("ck,ckd->cd", w, vals) / wsum
+
+    import math
+
+    n = int(qp.shape[0])
+    out = np.empty((n, 3), np.float32)
+    pad_to = chunk * max(1, math.ceil(n / chunk))
+    p = jnp.pad(qp, ((0, pad_to - n), (0, 0)))
+    m = jnp.pad(qn, ((0, pad_to - n), (0, 0)))
+    for s0 in range(0, pad_to, chunk):
+        res = np.asarray(one_chunk(p[s0:s0 + chunk], m[s0:s0 + chunk]))
+        e = min(s0 + chunk, n)
+        if e > s0:
+            out[s0:e] = res[: e - s0]
+    return out
+
+
 def bake_indirect_irradiance(field_fn, key, points, normals,
                              spp: int = 16, emitter_centers=None,
                              emitter_radii=None, ambient=None,

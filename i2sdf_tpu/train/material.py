@@ -109,6 +109,12 @@ class MaterialTrainConfig:
     indirect_spp: int = 0
     indirect_steps: int = 48  # sphere-trace budget per secondary ray
     indirect_chunk: int = 4096
+    # irradiance-cache smoothing of the bake: k-NN normal-gated average
+    # (models/indirect.py::smooth_irradiance). Indirect irradiance is a
+    # hemisphere integral — low-frequency in position — so neighbor
+    # averaging cuts the bake's MC noise ~sqrt(k) where raising spp
+    # costs linearly. 0 disables (raw per-point bake).
+    indirect_smooth_k: int = 16
     n_emitters: int = 1
     emitter_scale: float = 1.0
     diffuse_model: str = "lambert"
@@ -355,21 +361,38 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
 
     def calibrate(params, buffers, key, probe: int = 2048):
         """Least-squares per-channel emission rescale from a probe
-        render: log_radiance += log(<gt> / <pred>)."""
+        render: log_radiance += log(<gt - fixed> / <pred_scaling>).
+
+        The baked one-bounce term (kd * e_ind) does NOT scale with the
+        emission parameters — it is subtracted from the GT before the
+        ratio, else its (already radiometrically-correct) magnitude
+        drags the scale far below the true emission (measured on the
+        indirect A/B: emission calibrated to 15 of 110)."""
         n = buffers["points"].shape[0]
         idx = jax.random.randint(key, (min(probe, n),), 0, n)
         batch = {k: jnp.take(v, idx, axis=0) for k, v in buffers.items()}
-        pred, _ = predict(params, jax.random.fold_in(key, 1),
-                          batch["points"], batch["normals"],
-                          batch["view_dirs"], e_ind=batch.get("e_ind"))
-        scale = (jnp.clip(batch["rgb"].mean(0), 1e-6, None)
+        # emission-scaling part only (direct + kd*ambient)
+        pred, mats = predict(params, jax.random.fold_in(key, 1),
+                             batch["points"], batch["normals"],
+                             batch["view_dirs"])
+        gt_mean = batch["rgb"].mean(0)
+        if "e_ind" in batch:
+            gt_mean = gt_mean - (mats["kd"] * batch["e_ind"]).mean(0)
+        scale = (jnp.clip(gt_mean, 1e-6, None)
                  / jnp.clip(pred.mean(0), 1e-6, None))
         log_s = jnp.log(scale)
         print(f"[material] emission calibrated by x"
               f"{np.round(np.asarray(scale), 3).tolist()}")
-        # scale every light source (emitters AND ambient) uniformly
-        emission = {k: v + (log_s[None] if v.ndim == 2 else log_s)
-                    for k, v in params["emission"].items()}
+        # scale every light source (emitters AND ambient) uniformly —
+        # EXCEPT the ambient when a baked indirect buffer exists: there
+        # the ambient is a small residual on top of e_ind, and scaling
+        # it up 30x would double-count the indirect light
+        emission = {}
+        for k, v in params["emission"].items():
+            if k == "log_ambient" and "e_ind" in buffers:
+                emission[k] = v
+            else:
+                emission[k] = v + (log_s[None] if v.ndim == 2 else log_s)
         return {**params, "emission": emission}
 
     @jax.jit
@@ -510,30 +533,49 @@ class MaterialTrainer:
         # Per-step cost of indirect lighting is then a single multiply.
         if self.tcfg.indirect_spp > 0:
             from ..models.indirect import (bake_indirect_irradiance,
-                                           make_field_radiance_fn)
+                                           make_field_radiance_fn,
+                                           smooth_irradiance)
 
             field_fn = make_field_radiance_fn(
                 recon_params, model_cfg,
                 n_steps=self.tcfg.indirect_steps)
             self.key, k_ind = jax.random.split(self.key)
             t_ind = time.time()
-            self.buffers["e_ind"] = jnp.asarray(bake_indirect_irradiance(
+            e_raw = bake_indirect_irradiance(
                 field_fn, k_ind, self.buffers["points"],
                 self.buffers["normals"], spp=self.tcfg.indirect_spp,
                 emitter_centers=self.emitters.centers,
                 emitter_radii=self.emitters.radii,
-                chunk=self.tcfg.indirect_chunk))
+                chunk=self.tcfg.indirect_chunk)
+            sk = self.tcfg.indirect_smooth_k
+            if sk > 0:
+                self.buffers["e_ind"] = jnp.asarray(smooth_irradiance(
+                    self.buffers["points"], self.buffers["normals"],
+                    e_raw, k=sk))
+            else:
+                self.buffers["e_ind"] = jnp.asarray(e_raw)
             for i, g in enumerate(self.per_image):
                 sel = g["valid"]
                 e_full = np.zeros_like(g["points"], dtype=np.float32)
                 if sel.any():
-                    e_full[sel] = bake_indirect_irradiance(
-                        field_fn, jax.random.fold_in(k_ind, 1000 + i),
-                        g["points"][sel], g["normals"][sel],
-                        spp=self.tcfg.indirect_spp,
-                        emitter_centers=self.emitters.centers,
-                        emitter_radii=self.emitters.radii,
-                        chunk=self.tcfg.indirect_chunk)
+                    if sk > 0:
+                        # interpolate the (smoothed) training-point cache
+                        # at the validation pixels rather than re-baking:
+                        # one shared low-noise cache, zero extra MC cost
+                        e_full[sel] = smooth_irradiance(
+                            self.buffers["points"],
+                            self.buffers["normals"],
+                            self.buffers["e_ind"], k=sk,
+                            query_points=g["points"][sel],
+                            query_normals=g["normals"][sel])
+                    else:
+                        e_full[sel] = bake_indirect_irradiance(
+                            field_fn, jax.random.fold_in(k_ind, 1000 + i),
+                            g["points"][sel], g["normals"][sel],
+                            spp=self.tcfg.indirect_spp,
+                            emitter_centers=self.emitters.centers,
+                            emitter_radii=self.emitters.radii,
+                            chunk=self.tcfg.indirect_chunk)
                 g["e_ind"] = e_full
             mean_e = np.asarray(self.buffers["e_ind"]).mean(0)
             print(f"[material] baked one-bounce indirect irradiance "

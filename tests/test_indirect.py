@@ -204,3 +204,59 @@ def test_field_fn_traces_geometric_init_sphere():
     rgb = np.asarray(rgb)
     assert np.all(np.isfinite(rgb)) and rgb.shape == (16, 3)
     assert np.all(rgb >= 0.0) and np.all(rgb <= 1.0)  # sigmoid output
+
+
+# ---------------------------------------------------------------------------
+# smooth_irradiance (irradiance-cache denoise)
+# ---------------------------------------------------------------------------
+
+
+def test_smoothing_recovers_signal():
+    """A low-frequency irradiance field + heavy per-point MC noise:
+    k-NN smoothing must recover the spatial signal (correlation with the
+    clean field) that the raw noisy buffer has lost."""
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(-1, 1, size=(2000, 3)).astype(np.float32)
+    nrm = np.tile(np.asarray([0.0, 0.0, 1.0], np.float32), (2000, 1))
+    clean = (0.5 + 0.4 * np.sin(1.5 * pts[:, :1])
+             + 0.3 * pts[:, 1:2]) * np.asarray([[1.0, 0.6, 0.3]])
+    noisy = clean + rng.normal(scale=0.6, size=clean.shape)
+    sm = indirect.smooth_irradiance(pts, nrm, noisy, k=24, radius=0.3,
+                                    chunk=512)
+    corr_raw = np.corrcoef(noisy[:, 0], clean[:, 0])[0, 1]
+    corr_sm = np.corrcoef(sm[:, 0], clean[:, 0])[0, 1]
+    assert corr_sm > 0.9, corr_sm
+    assert corr_sm > corr_raw + 0.2
+
+
+def test_smoothing_normal_gate_blocks_cross_edge_bleed():
+    """Two coplanar-in-position but opposite-normal populations (a thin
+    wall's two sides) carry different irradiance; the normal gate must
+    keep the average from mixing them."""
+    rng = np.random.default_rng(3)
+    n = 400
+    pts = np.concatenate([rng.uniform(-1, 1, (n, 3)),
+                          rng.uniform(-1, 1, (n, 3))]).astype(np.float32)
+    nrm = np.concatenate([
+        np.tile([0.0, 0.0, 1.0], (n, 1)),
+        np.tile([0.0, 0.0, -1.0], (n, 1))]).astype(np.float32)
+    e = np.concatenate([np.full((n, 3), 2.0), np.zeros((n, 3))])
+    sm = indirect.smooth_irradiance(pts, nrm, e, k=16, radius=0.5,
+                                    chunk=256)
+    np.testing.assert_allclose(sm[:n], 2.0, atol=1e-5)
+    np.testing.assert_allclose(sm[n:], 0.0, atol=1e-5)
+
+
+def test_smoothing_query_interpolation():
+    """Query mode: a constant field sampled at new points must return
+    the constant (weights normalize) with the query's own normals."""
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+    nrm = np.tile(np.asarray([0.0, 1.0, 0.0], np.float32), (300, 1))
+    e = np.full((300, 3), 1.25, np.float32)
+    q = rng.uniform(-1, 1, (77, 3)).astype(np.float32)
+    qn = np.tile(np.asarray([0.0, 1.0, 0.0], np.float32), (77, 1))
+    out = indirect.smooth_irradiance(pts, nrm, e, k=8, query_points=q,
+                                     query_normals=qn, chunk=64)
+    assert out.shape == (77, 3)
+    np.testing.assert_allclose(out, 1.25, atol=1e-5)
