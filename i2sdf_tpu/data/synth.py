@@ -56,8 +56,14 @@ def scene_normal(p: jnp.ndarray, lights=None) -> jnp.ndarray:
     return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True), 1e-9)
 
 
-def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
-    """Simple per-object albedo with a checker floor."""
+def scene_albedo(p: jnp.ndarray, red_wall: bool = False) -> jnp.ndarray:
+    """Simple per-object albedo with a checker floor.
+
+    `red_wall` paints the x = -2 wall saturated red — the
+    high-interreflection variant: its bounce light tints every nearby
+    neutral surface, so a material fit that models indirect light as a
+    constant ambient must bake the red bleed into the recovered albedo
+    (the bias the one-bounce indirect path removes)."""
     sphere_d = jnp.linalg.norm(p - jnp.asarray([0.6, -1.4, 0.3]), axis=-1) - 0.6
     dxz = p[..., [0, 2]] - jnp.asarray([-1.0, -0.8])
     pillar_d = jnp.linalg.norm(dxz, axis=-1) - 0.04
@@ -68,6 +74,9 @@ def scene_albedo(p: jnp.ndarray) -> jnp.ndarray:
     pillar_c = jnp.asarray([0.9, 0.2, 0.2])
     alb = jnp.where((sphere_d < 0.02)[..., None], sphere_c, wall)
     alb = jnp.where((pillar_d < 0.02)[..., None], pillar_c, alb)
+    if red_wall:
+        alb = jnp.where((p[..., 0] < -1.95)[..., None],
+                        jnp.asarray([0.85, 0.06, 0.06]), alb)
     return alb
 
 
@@ -92,6 +101,27 @@ DEFAULT_LIGHTS = ((_LIGHT_POS, _LIGHT_RADIUS, _LIGHT_RADIANCE),)
 TWO_LIGHTS = DEFAULT_LIGHTS + (
     (jnp.asarray([-1.55, 1.1, 0.0]), 0.18,
      jnp.asarray([35.0, 60.0, 110.0])),)
+
+
+def scene_materials(p: jnp.ndarray, glossy: bool = False,
+                    red_wall: bool = False):
+    """GT material fields for the analytic scene: kd = `scene_albedo`,
+    dielectric default (ks 0.04, roughness 0.7). With `glossy` the
+    sphere object becomes a clear-highlight surface (ks 0.35, roughness
+    0.15) — the specular-recovery validation target (VERDICT r2 #6:
+    roughness/ks were pinned by the dielectric prior and never validated
+    against ground truth)."""
+    kd = scene_albedo(p, red_wall)
+    n = p.shape[0]
+    ks = jnp.full((n, 3), 0.04, jnp.float32)
+    rough = jnp.full((n,), 0.7, jnp.float32)
+    if glossy:
+        sphere_d = jnp.linalg.norm(
+            p - jnp.asarray([0.6, -1.4, 0.3]), axis=-1) - 0.6
+        on = sphere_d < 0.02
+        ks = jnp.where(on[:, None], 0.35, ks)
+        rough = jnp.where(on, 0.15, rough)
+    return {"kd": kd, "ks": ks, "rough": rough}
 
 
 def is_emitter(p: jnp.ndarray, lights=None) -> jnp.ndarray:
@@ -147,7 +177,52 @@ def _shadow_visibility(p, n, light_pos, light_radius, lights,
     return (min_s > eps).astype(jnp.float32)
 
 
-def shade(p, n, view_dir, lights=None):
+def direct_irradiance(p, n, lights=None):
+    """Direct Lambertian irradiance from the spherical fixture(s):
+    sum_k L_k * sin^2(half-angle_k) * <n,l_k> * vis_k, shape (N, 3).
+    (Albedo NOT applied — shared by the camera shade and the GT
+    one-bounce secondary shade.)"""
+    lights = DEFAULT_LIGHTS if lights is None else lights
+    direct = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    for pos, radius, radiance in lights:
+        to_light = jnp.asarray(pos) - p
+        dist2 = jnp.sum(to_light**2, axis=-1, keepdims=True)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-9))
+        l = to_light / dist
+        ndotl = jnp.clip(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
+        sin2_h = jnp.clip((radius / dist) ** 2, 0.0, 1.0)
+        vis = _shadow_visibility(p, n, pos, radius, lights)[:, None]
+        direct = direct + jnp.asarray(radiance)[None] * sin2_h * ndotl * vis
+    return direct
+
+
+def gt_one_bounce(p, n, key, lights=None, spp: int = 16,
+                  red_wall: bool = False):
+    """GROUND-TRUTH one-bounce indirect irradiance at `p`: cosine-
+    sampled secondary rays sphere-traced against the analytic scene;
+    radiance at the hit = albedo * direct irradiance there (pure
+    one-bounce path — no ambient inside the bounce). Emitter hits
+    contribute nothing: the fixtures' light is the DIRECT term's job,
+    exactly mirroring `models/indirect.py::indirect_irradiance`'s
+    exclusion, so generator and estimator integrate the same transport."""
+    from ..models.brdf import sample_cosine_hemisphere
+
+    lights = DEFAULT_LIGHTS if lights is None else lights
+    o = p + 5e-3 * n
+    total = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
+    for k in jax.random.split(key, spp):
+        d, _ = sample_cosine_hemisphere(k, n)
+        t, hit = sphere_trace(o, d, lights=lights)
+        h = o + t[:, None] * d
+        nh = scene_normal(h, lights)
+        li = scene_albedo(h, red_wall) * direct_irradiance(h, nh, lights)
+        keep = hit & (is_emitter(h, lights) < 0.5)
+        total = total + jnp.where(keep[:, None], li, 0.0)
+    return total / spp
+
+
+def shade(p, n, view_dir, lights=None, indirect_spp: int = 0,
+          key=None, red_wall: bool = False):
     """UNCLIPPED linear radiance: Lambertian direct lighting from the
     spherical fixture(s) (solid-angle irradiance + sphere-traced hard
     shadows, summed over lights) + constant ambient — the exact
@@ -160,20 +235,22 @@ def shade(p, n, view_dir, lights=None):
     `image/*.png` (the recon stage's LDR input) — near a radiance-110
     light the clipped fraction is large enough to bias any fit done in
     LDR (measured: emission calibrated 2.4x low, albedo corr 0.46 vs
-    0.80+ on HDR)."""
+    0.80+ on HDR).
+
+    `indirect_spp > 0` REPLACES the constant ambient with true MC
+    one-bounce interreflection (`gt_one_bounce`) — the
+    high-interreflection GT for the indirect-lighting A/B."""
     lights = DEFAULT_LIGHTS if lights is None else lights
-    alb = scene_albedo(p)
-    direct = jnp.zeros_like(alb)
-    for pos, radius, radiance in lights:
-        to_light = jnp.asarray(pos) - p
-        dist2 = jnp.sum(to_light**2, axis=-1, keepdims=True)
-        dist = jnp.sqrt(jnp.maximum(dist2, 1e-9))
-        l = to_light / dist
-        ndotl = jnp.clip(jnp.sum(n * l, axis=-1, keepdims=True), 0.0)
-        sin2_h = jnp.clip((radius / dist) ** 2, 0.0, 1.0)
-        vis = _shadow_visibility(p, n, pos, radius, lights)[:, None]
-        direct = direct + jnp.asarray(radiance)[None] * sin2_h * ndotl * vis
-    color = alb * (_AMBIENT + direct)
+    alb = scene_albedo(p, red_wall)
+    direct = direct_irradiance(p, n, lights)
+    if indirect_spp > 0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        irr = direct + gt_one_bounce(p, n, key, lights=lights,
+                                     spp=indirect_spp, red_wall=red_wall)
+    else:
+        irr = _AMBIENT + direct
+    color = alb * irr
     for pos, radius, radiance in lights:
         on = (jnp.linalg.norm(p - jnp.asarray(pos), axis=-1)
               < radius + 0.02)[..., None]
@@ -205,6 +282,9 @@ def generate_synthetic_scene(
     scan_id: int = 0,
     depth_format: str = "npy",
     lights=None,
+    indirect_spp: int = 0,
+    red_wall: bool = False,
+    seed: int = 0,
 ) -> str:
     """Render + write a full scan directory; returns the scan path.
 
@@ -212,7 +292,10 @@ def generate_synthetic_scene(
     released datasets (loaded through the native C++ EXR reader).
     `lights` (tuple of (pos, radius, radiance)): the fixture set —
     DEFAULT_LIGHTS (one ceiling fixture) or e.g. TWO_LIGHTS for
-    multi-emitter scenes.
+    multi-emitter scenes. `indirect_spp`/`red_wall`: render GT with
+    true MC one-bounce interreflection (replaces the constant ambient)
+    and/or the saturated-red x=-2 wall — the high-interreflection
+    configuration for the indirect-lighting A/B (see `shade`).
     """
     import cv2
 
@@ -256,8 +339,11 @@ def generate_synthetic_scene(
         t, hit = sphere_trace(cam, dirs_unit, lights=lights)
         p = cam + t[:, None] * dirs_unit
         n = scene_normal(p, lights)
-        hdr = np.asarray(jnp.where(hit[:, None],
-                                   shade(p, n, -dirs_unit, lights), 0.0))
+        shaded = shade(p, n, -dirs_unit, lights,
+                       indirect_spp=indirect_spp,
+                       key=jax.random.PRNGKey(seed * 1009 + i),
+                       red_wall=red_wall)
+        hdr = np.asarray(jnp.where(hit[:, None], shaded, 0.0))
         rgb = np.clip(hdr, 0.0, 1.0)
 
         # stored depth convention: the model predicts euclidean_t/||raw_dir||
