@@ -157,6 +157,36 @@ def _d_star(z_vals, sdf):
     return d_star, dists
 
 
+def _sorted_uniform(key, shape_r, n):
+    """Sorted iid U(0,1) draws, sorted BY CONSTRUCTION: normalized
+    partial sums of n+1 iid Exp(1) spacings have exactly the joint
+    distribution of the order statistics of n iid uniforms. Replaces
+    `sort(uniform(...))` so the final z merge needs no sort at all
+    (the tail sort chain cost ~1.4 ms/step at the shipped config)."""
+    e = -jnp.log1p(-jax.random.uniform(key, (shape_r, n + 1)))
+    s = jnp.cumsum(e, axis=-1)
+    return s[:, :-1] / jnp.maximum(s[:, -1:], 1e-12)
+
+
+def _merge_sorted(a, b):
+    """Row-wise merge of two SORTED (R, Na)/(R, Nb) arrays into a
+    sorted (R, Na+Nb) array without a sort: each element's merged rank
+    is its own index plus its searchsorted rank in the other array
+    (side left/right keeps tied ranks disjoint), then one scatter.
+    compare_all searchsorted is a (Na, Nb) broadcast-compare per ray —
+    ~100x cheaper than the (R, 98)-wide bitonic sort it replaces."""
+    R, na = a.shape
+    nb = b.shape[1]
+    ss = jax.vmap(lambda xs, qs, side: jnp.searchsorted(
+        xs, qs, side=side, method="compare_all"),
+        in_axes=(0, 0, None))
+    ra = ss(b, a, "left") + jnp.arange(na, dtype=jnp.int32)[None]
+    rb = ss(a, b, "right") + jnp.arange(nb, dtype=jnp.int32)[None]
+    rows = jnp.arange(R)[:, None]
+    out = jnp.zeros((R, na + nb), a.dtype)
+    return out.at[rows, ra].set(a).at[rows, rb].set(b)
+
+
 def round_update(cfg: SamplerConfig, z_vals, sdf, beta, beta0, u,
                  final: bool):
     """One refinement round of Algorithm 1 (pure-JAX reference path):
@@ -328,7 +358,7 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
         # --- final round: weights pdf over the full accumulated set -------
         if final:
             if training:
-                u = jax.random.uniform(keys[it + 1], (R, cfg.N_samples))
+                u = _sorted_uniform(keys[it + 1], R, cfg.N_samples)
             else:
                 u = jnp.broadcast_to(
                     jnp.linspace(0.0, 1.0, cfg.N_samples),
@@ -403,17 +433,23 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
     if cfg.N_samples_extra > 0:
         if training:
             perm = jax.random.permutation(keys[-3], z_vals.shape[1])
-            sampling_idx = perm[: cfg.N_samples_extra]
+            # same SET as the reference's unsorted permutation take
+            # (ray_sampler.py:141-146) — sorting the (tiny, shared)
+            # index vector makes the per-ray gather of the row-sorted
+            # z_vals come out sorted, enabling the sort-free merge
+            sampling_idx = jnp.sort(perm[: cfg.N_samples_extra])
         else:
             sampling_idx = jnp.linspace(
                 0, z_vals.shape[1] - 1, cfg.N_samples_extra).astype(jnp.int32)
+        # near <= every z < far by construction, so this concat is sorted
         z_vals_extra = jnp.concatenate(
-            [near, far, z_vals[:, sampling_idx]], axis=-1)
+            [near, z_vals[:, sampling_idx], far], axis=-1)
     else:
         z_vals_extra = jnp.concatenate([near, far], axis=-1)
 
-    z_final = jnp.sort(
-        jnp.concatenate([final_samples, z_vals_extra], axis=-1), axis=-1)
+    # final_samples is sorted by construction (inverse-CDF of sorted u:
+    # _sorted_uniform when training, linspace in eval) — merge, no sort
+    z_final = _merge_sorted(final_samples, z_vals_extra)
 
     # one random existing depth per ray -> eikonal near-surface points
     idx = jax.random.randint(keys[-2], (R, 1), 0, z_final.shape[-1])

@@ -313,3 +313,33 @@ def test_per_ray_jit_and_grad_free():
 
     g = jax.jit(jax.grad(f))(jnp.float32(1.0))
     assert float(g) == 0.0
+
+
+def test_sorted_uniform_is_sorted_and_uniform():
+    """Exponential-spacings construction: rows sorted, marginals
+    uniform (KS-style moment check at loose tolerance)."""
+    from i2sdf_tpu.models.sampler import _sorted_uniform
+
+    u = np.asarray(_sorted_uniform(jax.random.PRNGKey(3), 512, 64))
+    assert u.shape == (512, 64)
+    assert np.all(np.diff(u, axis=-1) >= 0)
+    assert 0.0 <= u.min() and u.max() <= 1.0
+    # pooled draws must be U(0,1): mean 1/2, var 1/12
+    assert abs(u.mean() - 0.5) < 5e-3
+    assert abs(u.var() - 1.0 / 12.0) < 5e-3
+
+
+def test_merge_sorted_matches_sort():
+    from i2sdf_tpu.models.sampler import _merge_sorted
+
+    rng = np.random.default_rng(0)
+    a = np.sort(rng.uniform(0, 8, (64, 17)).astype(np.float32), axis=-1)
+    b = np.sort(rng.uniform(0, 8, (64, 9)).astype(np.float32), axis=-1)
+    # inject ties within and across arrays (early-exit emits duplicates),
+    # re-sorting to preserve each input's row-sorted invariant
+    a[:, 5] = a[:, 4]
+    b[:, 3] = a[:, 7]
+    b = np.sort(b, axis=-1)
+    got = np.asarray(_merge_sorted(jnp.asarray(a), jnp.asarray(b)))
+    want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
+    np.testing.assert_array_equal(got, want)
