@@ -366,8 +366,38 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
             final_samples, beta = impl(z_vals, sdf, beta, beta0, u, True)
             continue
 
-        # --- convergence check (reference's beta0 bound,
-        #     ray_sampler.py:121-122,151) -----------------------------------
+        # --- emit next round's samples + convergence ----------------------
+        # Global-exit fast path: the refinement round's beta bisection
+        # already decides per-ray convergence — the kernel pins beta to
+        # beta0 exactly when the beta0 error bound is <= eps (the same
+        # flag the reference reads as `beta.max() > beta0`,
+        # ray_sampler.py:121-122,151). Deriving conv from the emitted
+        # beta removes a whole d*/prefix-sum check launch per round; at
+        # the round where the set first converges, the emitted pdf
+        # samples are swapped for leading-column duplicates so the next
+        # round's skipped-MLP copy (sdf[:, :n_new]) stays aligned.
+        if cfg.early_exit and not per_ray:
+            u = jnp.broadcast_to(
+                jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
+                (R, cfg.N_samples_eval))
+
+            def _run(z, s, b, u_):
+                smp, b2 = impl(z, s, b, beta0, u_, False)
+                return smp, b2, b2 <= beta0
+
+            samples, beta, conv_ray = jax.lax.cond(
+                converged,
+                lambda z, s, b, u_: (z[:, :cfg.N_samples_eval], b,
+                                     jnp.ones((R,), bool)),
+                _run, z_vals, sdf, beta, u)
+            converged = jnp.all(conv_ray)
+            samples = jnp.where(converged,
+                                z_vals[:, :cfg.N_samples_eval], samples)
+            sel = None
+            continue
+
+        # --- per-ray mode: explicit convergence check (reference's
+        #     beta0 bound, ray_sampler.py:121-122,151) ----------------------
         if cfg.early_exit:
             if conv_impl is not None:
                 check = lambda z, s: conv_impl(z, s, beta0)  # noqa: E731

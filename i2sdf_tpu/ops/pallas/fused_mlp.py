@@ -79,7 +79,7 @@ def _materialize_weights(params, cfg: ImplicitNetConfig):
 def _make_kernel(cfg: ImplicitNetConfig, emb_dim: int, n_layers: int,
                  out_cols: int, pe_freqs: tuple | None = None,
                  emb_pad: int | None = None, block_rows: int | None = None,
-                 clamp: tuple | None = None):
+                 clamp: tuple | None = None, act_impl: str = "f32"):
     """When `pe_freqs` is given the kernel input is raw (BR, 8)-padded
     xyz and the positional encoding is built on the VPU in-kernel (one
     less XLA fusion + 2x less HBM read per sampler round). When `clamp`
@@ -108,6 +108,7 @@ def _make_kernel(cfg: ImplicitNetConfig, emb_dim: int, n_layers: int,
             emb = jnp.concatenate(parts, axis=-1).astype(jnp.bfloat16)
         else:
             emb = emb_ref[:]  # (TN, emb_pad) bf16
+
         h = emb
         for layer in range(n_layers):
             if layer in skip_in:
@@ -119,8 +120,23 @@ def _make_kernel(cfg: ImplicitNetConfig, emb_dim: int, n_layers: int,
                         preferred_element_type=jnp.float32)
             x = x + b_refs[layer][:]
             if layer < n_layers - 1:
-                x = _softplus100(x)
-                h = x.astype(jnp.bfloat16)
+                # The f32 softplus epilogue stays: two cheaper variants
+                # were built and measured on-chip (scripts/
+                # bench_fused_mlp.py) and both REJECTED. (a) packed-bf16
+                # epilogue: Mosaic on v5e refuses packed-bf16 vector ops
+                # outright (cmpf AND the comparison-free max/abs/exp
+                # chain both fail to lower). (b) Pade-tail f32
+                # (softplus100(x) = max(x,0) + pade_log1p(exp(-100|x|))
+                # /100, one transcendental instead of two): measured
+                # SLOWER (3.44 vs 2.90 ms at block 2048 — the div eats
+                # the exp saving) with 7e-3 max SDF dev. Run-to-run chip
+                # variance is ~10%, larger than either effect. act_impl
+                # "none" remains as the diagnostic no-epilogue roof
+                # (~0.6 ms of a ~3.0 ms launch at the shipped config).
+                if act_impl == "none":  # diagnostic roof only
+                    h = x.astype(jnp.bfloat16)
+                else:
+                    h = _softplus100(x).astype(jnp.bfloat16)
             else:
                 h = x  # final layer stays f32
         h = h[:, :out_cols]
@@ -136,9 +152,11 @@ def _make_kernel(cfg: ImplicitNetConfig, emb_dim: int, n_layers: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "block_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("cfg", "block_rows",
+                                             "interpret", "act_impl"))
 def fused_sdf_mlp(params, cfg: ImplicitNetConfig, points: jnp.ndarray,
-                  block_rows: int = 1024, interpret: bool = False):
+                  block_rows: int = 1024, interpret: bool = False,
+                  act_impl: str = "f32"):
     """(N, 3) points -> (N,) clamped SDF via one fused kernel launch."""
     n = points.shape[0]
     dims = cfg.layer_dims()
@@ -181,7 +199,8 @@ def fused_sdf_mlp(params, cfg: ImplicitNetConfig, points: jnp.ndarray,
 
     kernel = _make_kernel(cfg, emb_dim, n_layers, out_cols,
                           pe_freqs=pe_freqs, emb_pad=emb_pad,
-                          block_rows=block_rows, clamp=clamp)
+                          block_rows=block_rows, clamp=clamp,
+                          act_impl=act_impl)
 
     grid = (n_pad // block_rows,)
     in_specs = [

@@ -66,3 +66,16 @@ def test_fused_in_sampler():
                                  dirs, cam, 0.1, False)
     assert z.shape == (4, 14)
     assert bool(jnp.all(jnp.isfinite(z)))
+
+
+def test_fused_act_none_roof_runs():
+    """act_impl='none' is the no-epilogue diagnostic roof used by
+    scripts/bench_fused_mlp.py to bound the softplus chain's VPU cost.
+    Its VALUES are meaningless; it just has to compile and stay finite
+    (cheaper epilogues were measured and rejected — see fused_mlp.py)."""
+    params = implicit_net_init(jax.random.PRNGKey(0), FLAGSHIP)
+    pts = jax.random.normal(jax.random.PRNGKey(3), (300, 3)) * 1.5
+    out = np.asarray(fused_sdf_mlp(params, FLAGSHIP, pts, block_rows=128,
+                                   interpret=True, act_impl="none"))
+    assert out.shape == (300,)
+    assert np.all(np.isfinite(out))
