@@ -363,24 +363,38 @@ def child_main():
         result["step_ms_by_beta"] = {str(b): round(ms, 2)
                                      for b, ms in by_beta.items()}
 
-        # MFU: XLA's own FLOP count for the compiled step (includes the
-        # Pallas kernels' cost annotations) over the DOMINANT-regime
-        # (beta=1e-3, 60% of the schedule, all 5 sampler rounds) wall
-        # time, against the v5e bf16 peak. The step mixes f32 and bf16,
-        # so this is the conventional bf16-peak MFU, a lower bound on
-        # utilization.
+        # MFU, the honest pair (VERDICT r3 #2):
+        # * mfu_sustained — XLA's own FLOP count for the compiled step
+        #   (includes the Pallas kernels' cost annotations) over the
+        #   DOMINANT-regime (beta=1e-3, 60% of the schedule, all 5
+        #   sampler rounds) wall time, against the v5e bf16 peak. XLA
+        #   counts every executed FLOP as useful (bisection recompute,
+        #   prefix-sum matmuls, duplicate-sample work), so this bounds
+        #   KERNEL headroom only.
+        # * mfu_algorithmic — the analytic useful-FLOP model
+        #   (i2sdf_tpu/utils/flops.py: minimum sampler MLP evals + the
+        #   final 98-sample differentiated render + eikonal points)
+        #   over the same wall. This bounds TOTAL headroom; the gap
+        #   between the two is algorithmic fat reachable only by
+        #   changing the algorithm, not by faster kernels.
+        peak = 197e12  # TPU v5e bf16 peak FLOP/s
         try:
             ca = step.lower(state, data, k, w).compile().cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
             flops = float(ca.get("flops", 0.0))
-            peak = 197e12  # TPU v5e bf16 peak FLOP/s
             if flops > 0:
                 result["flops_per_step"] = flops
                 result["mfu_sustained"] = round(
                     flops / (by_beta[0.001] * 1e-3) / peak, 4)
         except Exception as e:  # cost analysis is best-effort
             result["mfu_error"] = str(e)[-200:]
+        from i2sdf_tpu.utils.flops import train_step_flops
+
+        algo = train_step_flops(cfg, batch_size)
+        result["algorithmic_flops_per_step"] = algo["total"]
+        result["mfu_algorithmic"] = round(
+            algo["total"] / (by_beta[0.001] * 1e-3) / peak, 4)
 
     print(json.dumps(result))
     return 0

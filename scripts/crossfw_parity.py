@@ -28,10 +28,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=64)
+    ap.add_argument("--torch-seed", type=int, default=42,
+                    help="weight seed of the random scene; 42 keeps the "
+                         "global error bound > eps for all 5 rounds at "
+                         "256 rays (the non-converged parity claim)")
+    ap.add_argument("--beta", type=float, default=0.003,
+                    help="smaller beta keeps the error bound > eps for "
+                         "all 5 rounds (the non-converged parity claim); "
+                         "how early the torch loop exits depends on the "
+                         "random-weight scene AND the ray draw")
     args = ap.parse_args()
 
-    # the torch<->jax comparison is a strict-f32 CPU claim; keep jax off
-    # any accelerator plugin for this process
+    # the torch<->jax comparison is a strict-f32 CPU claim; the TPU
+    # plugin's sitecustomize pins JAX_PLATFORMS at interpreter startup
+    # (setdefault after startup is ignored — see tests/conftest.py), so
+    # re-exec once under the sanitized CPU environment
+    if (os.environ.get("JAX_PLATFORMS", "cpu") != "cpu"
+            and not os.environ.get("_CROSSFW_REEXECED")):
+        from __graft_entry__ import _sanitized_cpu_env
+
+        env = _sanitized_cpu_env(1)
+        env["_CROSSFW_REEXECED"] = "1"
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
     import numpy as np
@@ -50,13 +68,13 @@ def main():
     from i2sdf_tpu.models.sampler import SamplerConfig
     from i2sdf_tpu.utils.interop import convert_state_dict
 
-    torch.manual_seed(11)
+    torch.manual_seed(args.torch_seed)
     # beta small enough that the error bound at beta0 stays > eps for
     # all 5 rounds (random-weight scene): the parity claim is about the
     # non-converged path — after global convergence the fixed-shape
     # sampler pads with weights-pdf-invisible duplicate z-values that
     # are not bit-identical to the reference's dynamic early stop
-    SPHERE, BETA, BETA_MIN = 3.0, 0.003, 1e-4
+    SPHERE, BETA, BETA_MIN = 3.0, args.beta, 1e-4
     imp = RefImplicitNetwork(feature_size=256, width=256, n_hidden=8,
                              skip=(4,), multires=6,
                              sdf_bounding_sphere=SPHERE)
@@ -127,6 +145,8 @@ def main():
         "shapes": "8x256 skip@4 feat256 mr6 | 4x256 nerf mr4 | "
                   "sampler 64/128/32 x5",
         "rays": args.rays,
+        "beta": args.beta,
+        "torch_seed": args.torch_seed,
         "sampler_rounds_run": out_t["sampler_rounds"],
         "rgb": stats(out_j["rgb_values"], out_t["rgb_values"]),
         "depth": stats(out_j["depth_values"], out_t["depth_values"]),

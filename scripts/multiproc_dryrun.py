@@ -22,6 +22,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -156,8 +157,27 @@ def main():
     diff = abs(losses_2p[0] - loss_1p)
     scale = max(abs(loss_1p), 1e-9)
     ok = diff / scale < 1e-5
-    print(json.dumps({"ok": ok, "loss_2proc": losses_2p[0],
-                      "loss_1proc": loss_1p, "abs_diff": diff}))
+    try:
+        commit = subprocess.check_output(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            text=True).strip()
+    except Exception:
+        commit = "unknown"
+    result = {
+        "ok": ok,
+        "commit": commit,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "topology": "2 processes x 4 virtual CPU devices "
+                    "(jax.distributed, TCP coordinator) vs 1 process x 8",
+        "rel_tolerance": 1e-5,
+        "loss_2proc": losses_2p[0],
+        "loss_1proc": loss_1p,
+        "abs_diff": diff,
+    }
+    with open(os.path.join(REPO, "docs", "evidence",
+                           "multiproc_dryrun.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
     if not ok:
         sys.exit(1)
 
