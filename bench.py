@@ -306,7 +306,14 @@ def child_main():
     state, metrics = step(state, data, k, w)
     float(metrics["loss"])
 
-    default_steps = "20" if jax.default_backend() != "cpu" else "2"
+    # Window length matters on this stack: dispatch is async and the
+    # device runs enqueued steps back-to-back (profiler-verified, zero
+    # inter-step idle), but the FINAL value fetch pays one tunnel
+    # round-trip (~30-35 ms). Over an n-step window that tail inflates
+    # the per-step time by RTT/n — the entire r2->r3 "36.2 -> 38.2 ms
+    # late-beta regression" was this artifact (r2's sweep used 20-step
+    # windows, r3's ladder 10). 60+ steps keeps the tail under 0.6 ms.
+    default_steps = "60" if jax.default_backend() != "cpu" else "2"
     n_steps = int(os.environ.get("BENCH_STEPS", default_steps))
     t0 = time.perf_counter()
     for _ in range(n_steps):
@@ -340,7 +347,7 @@ def child_main():
     if want_sustained and jax.default_backend() != "cpu":
         ladder = ((0.1, 0.01), (0.03, 0.03), (0.01, 0.08),
                   (0.003, 0.28), (0.001, 0.60))
-        n_sus = max(n_steps // 2, 5)
+        n_sus = max(n_steps, 40)  # short windows inflate by RTT/n
         by_beta = {}
         for b, _ in ladder:
             state = state._replace(
