@@ -154,6 +154,10 @@ class I2SDFConfig:
             # absent = trainer/eval auto ladder (step.py PER_RAY_PHASES)
             per_ray_fracs=(tuple(rs["per_ray_fracs"])
                            if "per_ray_fracs" in rs else None),
+            # tapering per-round eval budget (models/sampler.py); absent
+            # = the reference's flat N_samples_eval every round
+            round_eval_counts=(tuple(rs["round_eval_counts"])
+                               if "round_eval_counts" in rs else None),
         )
         return cls(
             feature_vector_size=fvs,

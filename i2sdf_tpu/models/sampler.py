@@ -92,6 +92,29 @@ class SamplerConfig:
     # ray_sampler.per_ray_fracs) is honored verbatim at every beta.
     per_ray_exit: bool = False
     per_ray_fracs: tuple | None = None
+    # Per-round evaluation budget (round-4 algorithmic-FLOP cut): entry 0
+    # is the uniform-init size, entry i>=1 the number of NEW pdf samples
+    # evaluated at round i. None = the reference's flat N_samples_eval
+    # per round (`/root/reference/model/network/ray_sampler.py:84-95`
+    # draws `N_samples_eval` every iteration regardless of how far the
+    # error-bound pdf has already concentrated). Late rounds refine an
+    # already-concentrated pdf, so a tapering schedule (e.g. 128,128,
+    # 96,64,64) cuts the sampler's no-grad MLP evals 25% and shrinks
+    # every downstream (R, S) round kernel/merge — quality-gated by a
+    # real-training trajectory A/B (docs/evidence/eval_counts_ab.json).
+    round_eval_counts: tuple | None = None
+
+    @property
+    def eval_counts(self) -> tuple:
+        """Per-round evaluated-point counts, length max_total_iters."""
+        if self.round_eval_counts is None:
+            return (self.N_samples_eval,) * self.max_total_iters
+        counts = tuple(int(c) for c in self.round_eval_counts)
+        if len(counts) != self.max_total_iters:
+            raise ValueError(
+                f"round_eval_counts needs {self.max_total_iters} entries "
+                f"(one per round), got {len(counts)}")
+        return counts
 
     @property
     def far(self) -> float:
@@ -272,10 +295,11 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
     R = ray_dirs.shape[0]
     keys = jax.random.split(key, cfg.max_total_iters + 4)
     beta0 = jax.lax.stop_gradient(jnp.asarray(beta0, jnp.float32))
+    counts = cfg.eval_counts
 
     # --- uniform init ------------------------------------------------------
     z_vals = uniform_z_vals(
-        cfg, keys[0], ray_dirs, cam_loc, cfg.N_samples_eval, training,
+        cfg, keys[0], ray_dirs, cam_loc, counts[0], training,
         take_sphere_intersection=cfg.inverse_sphere_bg)
 
     # --- Lemma-2 max-beta init (ray_sampler.py:74-77) ------------------------
@@ -395,10 +419,10 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
         # the round where the set first converges, the emitted pdf
         # samples are swapped for leading-column duplicates so the next
         # round's skipped-MLP copy (sdf[:, :n_new]) stays aligned.
+        n_next = counts[it + 1]
         if cfg.early_exit and not per_ray:
             u = jnp.broadcast_to(
-                jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
-                (R, cfg.N_samples_eval))
+                jnp.linspace(0.0, 1.0, n_next), (R, n_next))
 
             def _run(z, s, b, u_):
                 smp, b2 = impl(z, s, b, beta0, u_, False)
@@ -406,12 +430,12 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
 
             samples, beta, conv_ray = jax.lax.cond(
                 converged,
-                lambda z, s, b, u_: (z[:, :cfg.N_samples_eval], b,
+                lambda z, s, b, u_: (z[:, :n_next], b,
                                      jnp.ones((R,), bool)),
                 _run, z_vals, sdf, beta, u)
             converged = jnp.all(conv_ray)
             samples = jnp.where(converged,
-                                z_vals[:, :cfg.N_samples_eval], samples)
+                                z_vals[:, :n_next], samples)
             sel = None
             continue
 
@@ -448,23 +472,21 @@ def error_bound_z_vals(cfg: SamplerConfig, sdf_fn, key, ray_dirs, cam_loc,
             sel = order[:cap]
             zg, sg, bg = z_vals[sel], sdf[sel], beta[sel]
             u = jnp.broadcast_to(
-                jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
-                (cap, cfg.N_samples_eval))
+                jnp.linspace(0.0, 1.0, n_next), (cap, n_next))
             samples, bg2 = jax.lax.cond(
                 converged,
-                lambda z, s, b, u_: (z[:, :cfg.N_samples_eval], b),
+                lambda z, s, b, u_: (z[:, :n_next], b),
                 lambda z, s, b, u_: impl(z, s, b, beta0, u_, False),
                 zg, sg, bg, u)
             beta = beta.at[sel].set(bg2)
         else:
             sel = None
             u = jnp.broadcast_to(
-                jnp.linspace(0.0, 1.0, cfg.N_samples_eval),
-                (R, cfg.N_samples_eval))
+                jnp.linspace(0.0, 1.0, n_next), (R, n_next))
             if cfg.early_exit:
                 samples, beta = jax.lax.cond(
                     converged,
-                    lambda z, s, b, u_: (z[:, :cfg.N_samples_eval], b),
+                    lambda z, s, b, u_: (z[:, :n_next], b),
                     lambda z, s, b, u_: impl(z, s, b, beta0, u_, False),
                     z_vals, sdf, beta, u)
             else:

@@ -79,9 +79,10 @@ def train_step_flops(cfg, batch_size: int, sampler_rounds: int | None = None,
     f_ren = rendering_fwd_flops(cfg.rendering)
 
     # --- sampler: no-grad forwards over new points only ------------------
-    # round 0 evaluates the N_samples_eval uniform init; each subsequent
-    # round evaluates N_samples_eval new pdf draws (ray_sampler.py:84-95)
-    sampler_pts = R * s.N_samples_eval * sampler_rounds
+    # round 0 evaluates the uniform init; each subsequent round evaluates
+    # that round's eval budget of new pdf draws (ray_sampler.py:84-95;
+    # per-round counts via SamplerConfig.round_eval_counts)
+    sampler_pts = R * sum(s.eval_counts[:sampler_rounds])
     sampler = sampler_pts * f_imp
 
     # --- differentiated render over the final sample set -----------------

@@ -343,3 +343,47 @@ def test_merge_sorted_matches_sort():
     got = np.asarray(_merge_sorted(jnp.asarray(a), jnp.asarray(b)))
     want = np.sort(np.concatenate([a, b], axis=-1), axis=-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_round_eval_counts_taper():
+    """Tapering per-round eval budgets: each round's MLP evaluation
+    traces at that round's count, the output shape is unchanged, and
+    the samples still concentrate near the surface like the flat-budget
+    sampler (the budget changes WHERE refinement effort goes, not the
+    final sample-set semantics)."""
+    import dataclasses
+
+    counts = (32, 32, 16)
+    cfg = dataclasses.replace(CFG, early_exit=False,
+                              round_eval_counts=counts)
+    dirs, cam = _rays()
+    shapes = []
+
+    def sdf_fn(p):
+        shapes.append(p.shape[0])
+        return sphere_sdf(p)
+
+    z, _, _ = error_bound_z_vals(cfg, sdf_fn, jax.random.PRNGKey(0),
+                                 dirs, cam, 0.01, False)
+    assert shapes == [8 * c for c in counts]
+    zn = np.asarray(z)
+    assert z.shape == (8, cfg.N_samples + cfg.N_samples_extra + 2)
+    assert np.all(np.diff(zn, axis=-1) >= -1e-6)
+    assert np.isfinite(zn).all()
+    near_surface = np.mean((zn > 1.3) & (zn < 1.7))
+    assert near_surface > 3 * (0.4 / 6.0)
+
+    # early-exit variant keeps shapes/order too (cond-gated evals)
+    cfg_ee = dataclasses.replace(cfg, early_exit=True)
+    z2, _, _ = _run(cfg_ee, jax.random.PRNGKey(0), dirs, cam, 0.01, False)
+    z2n = np.asarray(z2)
+    assert z2.shape == z.shape
+    assert np.all(np.diff(z2n, axis=-1) >= -1e-6)
+
+
+def test_round_eval_counts_validation():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, round_eval_counts=(32, 32))
+    with pytest.raises(ValueError):
+        cfg.eval_counts
