@@ -205,13 +205,16 @@ def gt_one_bounce(p, n, key, lights=None, spp: int = 16,
     contribute nothing: the fixtures' light is the DIRECT term's job,
     exactly mirroring `models/indirect.py::indirect_irradiance`'s
     exclusion, so generator and estimator integrate the same transport."""
-    from ..models.brdf import sample_cosine_hemisphere
+    from ..models.brdf import cosine_hemisphere_ld
 
     lights = DEFAULT_LIGHTS if lights is None else lights
     o = p + 5e-3 * n
     total = jnp.zeros(p.shape[:-1] + (3,), jnp.float32)
-    for k in jax.random.split(key, spp):
-        d, _ = sample_cosine_hemisphere(k, n)
+    flat_n = n.reshape(-1, 3)
+    dirs_all, _ = cosine_hemisphere_ld(key, flat_n, spp)
+    dirs_all = dirs_all.reshape((spp,) + p.shape[:-1] + (3,))
+    for s in range(spp):
+        d = dirs_all[s]
         t, hit = sphere_trace(o, d, lights=lights)
         h = o + t[:, None] * d
         nh = scene_normal(h, lights)

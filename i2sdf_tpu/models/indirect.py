@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import mlp
-from .brdf import sample_cosine_hemisphere
+from .brdf import cosine_hemisphere_ld
 
 
 def sphere_trace_hit(sdf_fn, origins, dirs, t_max,
@@ -123,9 +123,12 @@ def indirect_irradiance(field_fn, key, points, normals, spp: int = 16,
     amb = (jnp.zeros((3,), jnp.float32) if ambient is None
            else jnp.asarray(ambient, jnp.float32))
 
+    # low-discrepancy stratified hemisphere set per point (independent
+    # Cranley–Patterson rotations keep bakes independent across keys)
+    dirs_all, _ = cosine_hemisphere_ld(key, n, spp)
     total = jnp.zeros_like(points)
-    for k in jax.random.split(key, spp):
-        dirs, _ = sample_cosine_hemisphere(k, n)
+    for s in range(spp):
+        dirs = dirs_all[s]
         rgb, hit, hit_pts = field_fn(origins, dirs)
         li = jnp.where(hit[:, None], rgb, amb[None, :])
         if emitter_centers is not None and emitter_centers.shape[0]:

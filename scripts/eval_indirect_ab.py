@@ -13,12 +13,22 @@ twice against ground-truth geometry:
      transport, so the albedo should come out neutral where it is
      neutral.
 
+Round-4 upgrade (VERDICT r3 #3 — make the A/B conclusive): the bake and
+the GT generator both draw LOW-DISCREPANCY stratified hemisphere sets
+(`brdf.cosine_hemisphere_ld` — per-point Cranley–Patterson-rotated
+Hammersley) at much higher spp, the whole experiment runs over
+AB_SEEDS independent seeds (fit init + shading keys + bake keys), and
+the evidence reports mean±std of si-MAE / red-bleed / corr for both
+arms plus the bake-to-bake per-point correlation (round 3's smoking
+gun: 0.30 at iid spp 64).
+
 Reports albedo corr / scale-invariant MAE for both fits plus the
 red-channel bleed bias, writes docs/evidence/indirect_ab.json and a
 kd_A | kd_B | GT panel.
 
-Env knobs: AB_STEPS (default 4000), AB_RES ("48x64"), AB_N_IMAGES (4),
-AB_GT_SPP (32), AB_BAKE_SPP (32), AB_OUT (evidence dir override).
+Env knobs: AB_STEPS (default 4000), AB_SEEDS (3), AB_RES ("48x64"),
+AB_N_IMAGES (4), AB_GT_SPP (128), AB_BAKE_SPP (256), AB_SMOOTH_K (16),
+AB_OUT (evidence dir override).
 """
 
 from __future__ import annotations
@@ -59,10 +69,11 @@ def main() -> int:
     from i2sdf_tpu.utils.cameras import get_camera_params
 
     steps = int(os.environ.get("AB_STEPS", "4000"))
+    n_seeds = int(os.environ.get("AB_SEEDS", "3"))
     H, W = (int(x) for x in os.environ.get("AB_RES", "48x64").split("x"))
     n_images = int(os.environ.get("AB_N_IMAGES", "4"))
-    gt_spp = int(os.environ.get("AB_GT_SPP", "32"))
-    bake_spp = int(os.environ.get("AB_BAKE_SPP", "32"))
+    gt_spp = int(os.environ.get("AB_GT_SPP", "128"))
+    bake_spp = int(os.environ.get("AB_BAKE_SPP", "256"))
     out_dir = os.environ.get(
         "AB_OUT",
         os.path.join(os.path.dirname(os.path.dirname(
@@ -114,14 +125,15 @@ def main() -> int:
         rgb = scene_albedo(h, red_wall=True) * direct_irradiance(h, nh)
         return rgb, hit, h
 
-    def fit(e_ind):
+    def fit(e_ind, seed=0):
         mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
         tcfg = MaterialTrainConfig(batch_size=1024, spp=8, vis_steps=16,
                                    learning_rate=5e-3, steps=steps,
                                    smooth_weight=1e-4,
                                    ks_prior_weight=0.02)
         params = {
-            "material": material_net_init(jax.random.PRNGKey(5), mat_cfg),
+            "material": material_net_init(
+                jax.random.PRNGKey(5 + 1000 * seed), mat_cfg),
             "emission": emission_init(jnp.asarray([[2.0, 2.0, 2.0]])),
         }
         tx = make_optimizer(tcfg.learning_rate, decay_steps=steps)
@@ -130,7 +142,7 @@ def main() -> int:
         bufs = dict(buffers)
         if e_ind is not None:
             bufs["e_ind"] = jnp.asarray(e_ind)
-        key = jax.random.PRNGKey(9)
+        key = jax.random.PRNGKey(9 + 1000 * seed)
         key, k_cal = jax.random.split(key)
         params = calibrate(params, bufs, k_cal)
         state = TrainState(step=jnp.int32(0), params=params,
@@ -170,32 +182,71 @@ def main() -> int:
                 state.params["emission"])), 3).tolist(),
         }, state, mat_cfg, scale
 
-    print("[ab] fit A: constant ambient", flush=True)
-    res_a, state_a, mat_cfg, scale_a = fit(None)
-    print(json.dumps(res_a), flush=True)
-
-    print(f"[ab] baking oracle one-bounce irradiance ({bake_spp} spp)",
-          flush=True)
-    t0 = time.time()
-    e_raw = bake_indirect_irradiance(
-        oracle_field, jax.random.PRNGKey(31), buffers["points"],
-        buffers["normals"], spp=bake_spp, emitter_centers=centers,
-        emitter_radii=radii)
-    # irradiance-cache denoise: per-point MC noise at practical spp
-    # swamps the spatial signal (measured: two independent spp-64 bakes
-    # correlate only 0.30 per point) and gets imprinted into kd; the
-    # k-NN normal-gated average recovers the low-frequency field
     smooth_k = int(os.environ.get("AB_SMOOTH_K", "16"))
-    e_ind = (smooth_irradiance(buffers["points"], buffers["normals"],
-                               e_raw, k=smooth_k)
-             if smooth_k > 0 else e_raw)
-    print(f"[ab] bake took {time.time() - t0:.1f}s; mean "
-          f"{np.round(np.asarray(e_ind).mean(0), 4).tolist()} "
-          f"(smooth_k={smooth_k})", flush=True)
 
-    print("[ab] fit B: baked one-bounce indirect", flush=True)
-    res_b, state_b, _, scale_b = fit(e_ind)
-    print(json.dumps(res_b), flush=True)
+    def bake(seed):
+        e_raw = bake_indirect_irradiance(
+            oracle_field, jax.random.PRNGKey(31 + 1000 * seed),
+            buffers["points"], buffers["normals"], spp=bake_spp,
+            emitter_centers=centers, emitter_radii=radii)
+        e_sm = (smooth_irradiance(buffers["points"], buffers["normals"],
+                                  e_raw, k=smooth_k)
+                if smooth_k > 0 else e_raw)
+        return np.asarray(e_raw), np.asarray(e_sm)
+
+    # ---- bake-variance evidence (round 3's smoking gun): per-point
+    # correlation of two INDEPENDENT bakes, raw and smoothed. With the
+    # LD stratified hemisphere sets this must sit far above 0.30.
+    t0 = time.time()
+    raw0, sm0 = bake(0)
+    raw1, sm1 = bake(1)
+    bake_secs = (time.time() - t0) / 2
+
+    def pair_corr(a, b):
+        return [float(np.corrcoef(a[:, c], b[:, c])[0, 1])
+                for c in range(3)]
+
+    bake_corr_raw = pair_corr(raw0, raw1)
+    bake_corr_sm = pair_corr(sm0, sm1)
+    print(f"[ab] bake {bake_secs:.1f}s/bake; pair corr raw="
+          f"{np.round(bake_corr_raw, 3).tolist()} smoothed="
+          f"{np.round(bake_corr_sm, 3).tolist()}", flush=True)
+
+    seeds = list(range(n_seeds))
+    runs_a, runs_b = [], []
+    bakes = {0: sm0, 1: sm1}
+    state_a = state_b = scale_a = scale_b = mat_cfg = None
+    for s in seeds:
+        print(f"[ab] seed {s}: fit A (constant ambient)", flush=True)
+        res_a, st_a, mat_cfg, sc_a = fit(None, seed=s)
+        print(json.dumps(res_a), flush=True)
+        if s not in bakes:
+            bakes[s] = bake(s)[1]
+        print(f"[ab] seed {s}: fit B (baked one-bounce)", flush=True)
+        res_b, st_b, _, sc_b = fit(bakes[s], seed=s)
+        print(json.dumps(res_b), flush=True)
+        runs_a.append(res_a)
+        runs_b.append(res_b)
+        if s == 0:
+            state_a, scale_a, state_b, scale_b = st_a, sc_a, st_b, sc_b
+
+    def agg(runs):
+        out = {}
+        for key_, absolute in (("albedo_si_mae", False),
+                               ("red_bleed_bias", False),
+                               ("abs_red_bleed", True)):
+            src = ("red_bleed_bias" if absolute else key_)
+            vals = np.asarray([abs(r[src]) if absolute else r[src]
+                               for r in runs], np.float64)
+            out[key_ + "_mean"] = round(float(vals.mean()), 4)
+            out[key_ + "_std"] = round(float(vals.std()), 4)
+        corr_r = np.asarray([r["albedo_corr_rgb"][0] for r in runs])
+        out["corr_R_mean"] = round(float(corr_r.mean()), 3)
+        out["corr_R_std"] = round(float(corr_r.std()), 3)
+        return out
+
+    agg_a, agg_b = agg(runs_a), agg(runs_b)
+    res_a, res_b = runs_a[0], runs_b[0]
 
     # kd_A | kd_B | GT panel, view 0
     sel, pts_full = view_masks[0]
@@ -215,20 +266,51 @@ def main() -> int:
     png = os.path.join(out_dir, "indirect_ab_albedo.png")
     artifacts.write_rgb(png, np.clip(panel, 0, 1))
 
+    verdict = {
+        "si_mae_better": bool(agg_b["albedo_si_mae_mean"]
+                              + agg_b["albedo_si_mae_std"]
+                              < agg_a["albedo_si_mae_mean"]
+                              - agg_a["albedo_si_mae_std"]),
+        "red_bleed_better": bool(agg_b["abs_red_bleed_mean"]
+                                 + agg_b["abs_red_bleed_std"]
+                                 < agg_a["abs_red_bleed_mean"]
+                                 - agg_a["abs_red_bleed_std"]),
+    }
+    verdict["one_bounce_strictly_better"] = (
+        verdict["si_mae_better"] and verdict["red_bleed_better"])
+
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                                cwd=repo, capture_output=True,
+                                text=True).stdout.strip()
+    except Exception:
+        commit = "unknown"
     result = {
         "platform": jax.default_backend(),
-        "device": str(jax.devices()[0]),
-        "steps": steps, "gt_spp": gt_spp, "bake_spp": bake_spp,
+        "device": str(jax.devices()[0]), "commit": commit,
+        "steps": steps, "n_seeds": n_seeds,
+        "gt_spp": gt_spp, "bake_spp": bake_spp,
+        "sampler": "cosine_hemisphere_ld (Hammersley + per-point "
+                   "Cranley-Patterson rotation)",
         "smooth_k": smooth_k,
         "res": f"{H}x{W}", "n_images": n_images,
-        "constant_ambient": res_a,
-        "one_bounce": res_b,
+        "bake_pair_corr_raw": [round(c, 3) for c in bake_corr_raw],
+        "bake_pair_corr_smoothed": [round(c, 3) for c in bake_corr_sm],
+        "constant_ambient_mean_std": agg_a,
+        "one_bounce_mean_std": agg_b,
+        "verdict": verdict,
+        "constant_ambient_runs": runs_a,
+        "one_bounce_runs": runs_b,
         "panel_png": os.path.relpath(png),
     }
     with open(os.path.join(out_dir, "indirect_ab.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: result[k] for k in
-                      ("platform", "constant_ambient", "one_bounce")}))
+                      ("platform", "bake_pair_corr_raw",
+                       "constant_ambient_mean_std", "one_bounce_mean_std",
+                       "verdict")}))
     return 0
 
 

@@ -65,6 +65,41 @@ def test_cosine_sampling_distribution():
     np.testing.assert_allclose(np.asarray(pdf), cos / np.pi, atol=1e-5)
 
 
+def test_ld_hemisphere_correct_and_low_variance():
+    """cosine_hemisphere_ld: cosine-weighted, unit, hemisphere-bound,
+    and its spp-mean estimator has far lower variance than iid MC —
+    the round-4 fix for the indirect-bake noise floor."""
+    spp, npts = 64, 512
+    n = jnp.asarray(np.tile(_unit([0.0, 1.0, 0.0]), (npts, 1)))
+    d, pdf = brdf.cosine_hemisphere_ld(jax.random.PRNGKey(0), n, spp)
+    assert d.shape == (spp, npts, 3) and pdf.shape == (spp, npts)
+    nrm = np.linalg.norm(np.asarray(d), axis=-1)
+    np.testing.assert_allclose(nrm, 1.0, atol=1e-5)
+    cos = np.asarray(d[..., 1])
+    assert cos.min() > -1e-6
+    np.testing.assert_allclose(np.asarray(pdf),
+                               np.maximum(cos, 1e-9) / np.pi, atol=1e-5)
+    # per-point estimate of E[cos] = 2/3 under the cosine pdf
+    est_ld = cos.mean(0)
+    np.testing.assert_allclose(est_ld.mean(), 2.0 / 3.0, atol=0.01)
+    est_iid = np.zeros(npts)
+    for k in jax.random.split(jax.random.PRNGKey(0), spp):
+        l, _ = brdf.sample_cosine_hemisphere(k, n)
+        est_iid += np.asarray(l[:, 1])
+    est_iid /= spp
+    # measured: 0.0045 vs 0.0297 — require at least 3x tighter
+    assert est_ld.std() < est_iid.std() / 3.0
+
+
+def test_ld_hemisphere_bakes_independent_across_keys():
+    """Independent Cranley–Patterson rotations: two keys give distinct
+    sample sets (no bake-to-bake correlation of the raw noise)."""
+    n = jnp.asarray(np.tile(_unit([0.0, 1.0, 0.0]), (64, 1)))
+    d0, _ = brdf.cosine_hemisphere_ld(jax.random.PRNGKey(1), n, 16)
+    d1, _ = brdf.cosine_hemisphere_ld(jax.random.PRNGKey(2), n, 16)
+    assert float(np.abs(np.asarray(d0) - np.asarray(d1)).max()) > 0.1
+
+
 def test_vndf_sampling_reflects_above_surface():
     rng = np.random.default_rng(2)
     n = jnp.asarray(np.tile(_unit([0.0, 0.0, 1.0]), (2048, 1)))
