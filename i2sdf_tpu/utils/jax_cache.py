@@ -19,7 +19,13 @@ import platform
 
 
 def host_signature() -> str:
-    """Short stable hash of this host's CPU feature flags."""
+    """Short stable hash of this host's CPU feature flags + jaxlib.
+
+    The jaxlib version is part of the key because XLA:CPU embeds
+    version-dependent codegen PREFERENCES (prefer-no-scatter/gather)
+    in the AOT machine-feature list too — two hosts with identical
+    cpuinfo but different jaxlib builds cross-load each other's entries
+    and log feature-mismatch warnings (seen round 4)."""
     flags = platform.machine()
     try:
         with open("/proc/cpuinfo") as f:
@@ -28,6 +34,12 @@ def host_signature() -> str:
                     flags = line.strip()
                     break
     except OSError:
+        pass
+    try:
+        import jaxlib
+
+        flags += f"|jaxlib-{jaxlib.__version__}"
+    except Exception:
         pass
     return hashlib.sha1(flags.encode()).hexdigest()[:10]
 

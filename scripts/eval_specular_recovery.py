@@ -1,22 +1,41 @@
 """Specular (roughness/ks) recovery validation on a glossy scene.
 
-VERDICT round-2 #6: the material stage's roughness and ks channels were
-pinned by the dielectric prior and never validated against ground
-truth. This script renders GT with a GLOSSY sphere (roughness 0.15,
-ks 0.35 — a clear highlight) using the SAME NEE transport the stage
-inverts (`models/rendering_layer.py::shade_emitters` at high spp, GT
-material fields from `data/synth.py::scene_materials`), fits the
-material stage twice —
+VERDICT round-2 #6 introduced this check; round-3 found roughness
+recovers (corr 0.97 with the soft prior) but ks does not (corr 0.16):
+the specular AMPLITUDE was unconstrained by the 8-orbit single-light
+capture. VERDICT round-3 #4 asks to make ks identifiable — grazing
+views and/or a second light — or document the negative result.
 
-  A) shipped dielectric prior weight (pulls ks to 0.04 everywhere),
-  B) soft prior (10x lower weight),
+Round-4 design (SPEC_CAPTURE=r4, the default):
 
-— and reports roughness/ks correlation and per-object means next to
-the albedo metrics. Writes docs/evidence/specular_recovery.json and a
-roughness panel.
+  * TWO emitters (`data/synth.py::TWO_LIGHTS` — warm ceiling + cool
+    sconce), so highlights land on two different regions of the glossy
+    sphere and specular/diffuse chroma decouple;
+  * highlight-aimed views: for each light, a camera placed on the
+    sphere-center -> light axis, where the sphere point facing the
+    light reflects the camera back onto the light (near-normal
+    incidence, Fresnel F ~= ks — the configuration that pins amplitude);
+  * grazing wall/floor views (Fresnel rise toward 1 at grazing pins
+    ks against kd on the rough walls).
+
+Besides the fits the script measures IDENTIFIABILITY directly,
+independent of any estimator: the trainer's own relative-MSE between
+the GT image set and a re-render with GT kd/roughness but ks scaled by
+s in {0, 0.5, 1, 1.5, 2}, rendered with COMMON RANDOM NUMBERS (same
+keys as the GT — otherwise the specular MC variance grows ~s^2 and
+drags the curve minimum below 1 regardless of the data). The curve is
+reported next to the independent-rerender "noise_floor";
+ks_half_over_noise >> 1 means the DATA pins ks (any recovery failure is
+then the estimator's fault), ~1 means the capture genuinely does not
+constrain it. Also reports "spec_coverage": the fraction of surface
+samples whose GT specular luminance exceeds 5% of their diffuse+ambient
+luminance.
+
+Legacy capture reproducible with SPEC_CAPTURE=r3 (8 orbit views, one
+light — the round-3 evidence configuration).
 
 Env knobs: SPEC_STEPS (default 6000), SPEC_RES ("48x64"),
-SPEC_N_IMAGES (8), SPEC_GT_SPP (128), SPEC_OUT (evidence dir override).
+SPEC_GT_SPP (128), SPEC_CAPTURE ("r4"|"r3"|"both"), SPEC_OUT.
 """
 
 from __future__ import annotations
@@ -37,14 +56,11 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from i2sdf_tpu.data.synth import (_AMBIENT, _LIGHT_POS, _LIGHT_RADIUS,
-                                      _LIGHT_RADIANCE, _look_at,
-                                      is_emitter, scene_materials,
-                                      scene_normal, scene_sdf,
-                                      sphere_trace)
+    from i2sdf_tpu.data.synth import (_AMBIENT, DEFAULT_LIGHTS, TWO_LIGHTS,
+                                      _look_at, is_emitter, scene_materials,
+                                      scene_normal, scene_sdf, sphere_trace)
     from i2sdf_tpu.eval.relight import sphere_trace_visibility
     from i2sdf_tpu.models.material import (MaterialNetConfig,
-                                           ambient_apply, emission_apply,
                                            emission_init,
                                            material_net_apply,
                                            material_net_init)
@@ -57,107 +73,204 @@ def main() -> int:
 
     steps = int(os.environ.get("SPEC_STEPS", "6000"))
     H, W = (int(x) for x in os.environ.get("SPEC_RES", "48x64").split("x"))
-    n_images = int(os.environ.get("SPEC_N_IMAGES", "8"))
     gt_spp = int(os.environ.get("SPEC_GT_SPP", "128"))
+    capture_mode = os.environ.get("SPEC_CAPTURE", "r4")
     out_dir = os.environ.get(
         "SPEC_OUT",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "docs", "evidence"))
     os.makedirs(out_dir, exist_ok=True)
 
-    centers = jnp.asarray(_LIGHT_POS)[None]
-    radii = jnp.asarray([_LIGHT_RADIUS])
-    radiance = jnp.asarray(_LIGHT_RADIANCE)[None]
+    sphere_c = np.array([0.6, -1.4, 0.3])
 
-    def vis_fn(pts, dirs, t_max):
-        return sphere_trace_visibility(lambda q: scene_sdf(q), pts, dirs,
-                                       t_max, n_steps=24)
+    def orbit_views(n):
+        views = []
+        for i in range(n):
+            ang = 2 * np.pi * i / n
+            eye = np.array([1.2 * np.cos(ang), 0.1 * np.sin(2 * ang),
+                            1.2 * np.sin(ang)])
+            target = np.array([0.4 * np.cos(ang + 2.0), -0.7,
+                               0.4 * np.sin(ang + 2.0)])
+            views.append((eye, target))
+        return views
 
-    # ---- analytic-geometry bake: multi-view surface samples ----------
+    def r4_extra_views(lights):
+        """Highlight-aimed + grazing views (module docstring)."""
+        views = []
+        for pos, _, _ in lights:
+            # camera on the sphere->light axis: the sphere point facing
+            # the light reflects this camera straight onto the light.
+            # Two tilted companions sweep the highlight across adjacent
+            # sphere points (wider covered patch, more ks-informative
+            # pixels at still-near-normal incidence).
+            axis = np.asarray(pos) - sphere_c
+            axis = axis / np.linalg.norm(axis)
+            up = np.array([0.0, 1.0, 0.0])
+            side = np.cross(axis, up)
+            side = (side / np.linalg.norm(side)
+                    if np.linalg.norm(side) > 1e-6
+                    else np.array([1.0, 0.0, 0.0]))
+            for tilt in (0.0, 0.45, -0.45):
+                d = axis * np.cos(tilt) + side * np.sin(tilt)
+                views.append((sphere_c + 1.5 * d, sphere_c))
+        # grazing along the x=-2 wall and along the floor
+        views.append((np.array([-1.80, -0.4, -1.5]),
+                      np.array([-1.95, -0.6, 1.5])))
+        views.append((np.array([1.4, -1.80, -1.2]),
+                      np.array([-1.5, -1.95, 1.2])))
+        return views
+
     focal = 0.8 * W
     jj, ii = np.meshgrid(np.arange(W), np.arange(H))
     x = (jj.reshape(-1) - W / 2.0) / focal
     y = (ii.reshape(-1) - H / 2.0) / focal
     dirs_cam = np.stack([x, y, np.ones_like(x)], -1).astype(np.float32)
 
-    flat = {k: [] for k in ("points", "normals", "view_dirs")}
-    view_masks = []
-    for i in range(n_images):
-        ang = 2 * np.pi * i / n_images
-        eye = np.array([1.2 * np.cos(ang), 0.1 * np.sin(2 * ang),
-                        1.2 * np.sin(ang)])
-        # aim low, toward the glossy sphere's neighborhood
-        target = np.array([0.4 * np.cos(ang + 2.0), -0.7,
-                           0.4 * np.sin(ang + 2.0)])
-        pose = _look_at(eye, target)
-        dw = dirs_cam @ pose[:3, :3].T
-        units = jnp.asarray(dw / np.linalg.norm(dw, axis=-1,
-                                                keepdims=True))
-        cams = jnp.broadcast_to(jnp.asarray(eye, jnp.float32),
-                                units.shape)
-        t, hit = sphere_trace(cams, units)
-        p = cams + t[:, None] * units
-        sel = np.asarray(hit) & (np.asarray(is_emitter(p)) < 0.5)
-        view_masks.append((sel, np.asarray(p)))
-        flat["points"].append(np.asarray(p)[sel])
-        flat["normals"].append(np.asarray(scene_normal(p))[sel])
-        flat["view_dirs"].append(np.asarray(-units)[sel])
-    buffers = {k: jnp.asarray(np.concatenate(v), jnp.float32)
-               for k, v in flat.items()}
-    n_pts = int(buffers["points"].shape[0])
-    print(f"[spec] {n_pts} surface samples over {n_images} views",
-          flush=True)
+    def build_capture(views, lights):
+        """Bake per-view surface samples + render GT (diffuse/specular
+        split) with the SAME NEE transport the stage inverts."""
+        centers = jnp.stack([jnp.asarray(p, jnp.float32)
+                             for p, _, _ in lights])
+        radii = jnp.asarray([r for _, r, _ in lights], jnp.float32)
+        radiance = jnp.stack([jnp.asarray(L, jnp.float32)
+                              for _, _, L in lights])
+        sdf = lambda q: scene_sdf(q, lights)  # noqa: E731
 
-    # ---- GT radiance with GLOSSY materials, same NEE transport -------
-    mats_gt = scene_materials(buffers["points"], glossy=True)
-    gt_cfg = RenderingLayerConfig(spp=gt_spp)
+        def vis_fn(pts, dirs, t_max):
+            return sphere_trace_visibility(sdf, pts, dirs, t_max,
+                                           n_steps=24)
 
-    @jax.jit
-    def render_gt(key, pts, normals, view_dirs, kd, ks, rough):
-        out = shade_emitters(gt_cfg, key, pts, normals, view_dirs,
-                             kd, ks, rough, centers, radii, radiance,
-                             visibility_fn=vis_fn)
-        return (out["color_diffuse"] + out["color_specular"]
-                + kd * _AMBIENT)
+        flat = {k: [] for k in ("points", "normals", "view_dirs")}
+        view_masks = []
+        for eye, target in views:
+            pose = _look_at(np.asarray(eye, np.float64),
+                            np.asarray(target, np.float64))
+            dw = dirs_cam @ pose[:3, :3].T
+            units = jnp.asarray(dw / np.linalg.norm(dw, axis=-1,
+                                                    keepdims=True))
+            cams = jnp.broadcast_to(jnp.asarray(eye, jnp.float32),
+                                    units.shape)
+            t, hit = sphere_trace(cams, units, lights=lights)
+            p = cams + t[:, None] * units
+            sel = (np.asarray(hit)
+                   & (np.asarray(is_emitter(p, lights)) < 0.5))
+            view_masks.append((sel, np.asarray(p)))
+            flat["points"].append(np.asarray(p)[sel])
+            flat["normals"].append(np.asarray(scene_normal(p, lights))[sel])
+            flat["view_dirs"].append(np.asarray(-units)[sel])
+        buffers = {k: jnp.asarray(np.concatenate(v), jnp.float32)
+                   for k, v in flat.items()}
+        n_pts = int(buffers["points"].shape[0])
 
-    chunk = 4096
-    gt = np.empty((n_pts, 3), np.float32)
-    t0 = time.time()
-    for s in range(0, n_pts, chunk):
-        e = min(s + chunk, n_pts)
-        pad = chunk - (e - s)
+        mats_gt = scene_materials(buffers["points"], glossy=True)
+        gt_cfg = RenderingLayerConfig(spp=gt_spp)
 
-        def padded(a):
-            a = jnp.asarray(np.asarray(a)[s:e], jnp.float32)
-            return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        @jax.jit
+        def render_split(key, pts, normals, view_dirs, kd, ks, rough):
+            out = shade_emitters(gt_cfg, key, pts, normals, view_dirs,
+                                 kd, ks, rough, centers, radii, radiance,
+                                 visibility_fn=vis_fn)
+            return (out["color_diffuse"] + kd * _AMBIENT,
+                    out["color_specular"])
 
-        o = render_gt(jax.random.fold_in(jax.random.PRNGKey(7), s),
-                      padded(buffers["points"]), padded(buffers["normals"]),
-                      padded(buffers["view_dirs"]), padded(mats_gt["kd"]),
-                      padded(mats_gt["ks"]), padded(mats_gt["rough"]))
-        gt[s:e] = np.asarray(o)[: e - s]
-    buffers["rgb"] = jnp.asarray(gt)
-    print(f"[spec] GT rendered at {gt_spp} spp in {time.time() - t0:.1f}s",
-          flush=True)
+        chunk = 4096
+        diff = np.empty((n_pts, 3), np.float32)
+        spec = np.empty((n_pts, 3), np.float32)
+        t0 = time.time()
+        for s in range(0, n_pts, chunk):
+            e = min(s + chunk, n_pts)
+            pad = chunk - (e - s)
 
-    rough_gt = np.asarray(mats_gt["rough"])
-    ks_gt = np.asarray(mats_gt["ks"])
-    kd_gt = np.asarray(mats_gt["kd"])
-    on_sphere = rough_gt < 0.5
+            def padded(a):
+                a = jnp.asarray(np.asarray(a)[s:e], jnp.float32)
+                return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
-    def fit(ks_prior_weight):
+            d, sp = render_split(
+                jax.random.fold_in(jax.random.PRNGKey(7), s),
+                padded(buffers["points"]), padded(buffers["normals"]),
+                padded(buffers["view_dirs"]), padded(mats_gt["kd"]),
+                padded(mats_gt["ks"]), padded(mats_gt["rough"]))
+            diff[s:e] = np.asarray(d)[: e - s]
+            spec[s:e] = np.asarray(sp)[: e - s]
+        buffers["rgb"] = jnp.asarray(diff + spec)
+        print(f"[spec] {n_pts} samples over {len(views)} views; GT at "
+              f"{gt_spp} spp in {time.time() - t0:.1f}s", flush=True)
+
+        lum = lambda a: a.mean(-1)  # noqa: E731
+        cover = lum(spec) > 0.05 * np.maximum(lum(diff), 1e-6)
+        rough_gt = np.asarray(mats_gt["rough"])
+        on_sphere = rough_gt < 0.5
+        coverage = {
+            "spec_coverage_all": round(float(cover.mean()), 4),
+            "spec_coverage_sphere": round(float(cover[on_sphere].mean()), 4),
+        }
+
+        # ---- identifiability curve: trainer's relative-MSE vs a global
+        # ks scale, everything else held at GT. Estimator-independent.
+        # COMMON RANDOM NUMBERS with the GT render (same fold_in key):
+        # with independent keys the MC variance of the specular term
+        # grows ~s^2 and shifts the curve's minimum below 1 even when
+        # the data pins ks — CRN cancels the shared noise so the curve
+        # measures the DATA constraint alone.
+        curve = {}
+        gt_rgb = np.asarray(buffers["rgb"])
+        w = 1.0 / np.square(gt_rgb.mean(-1, keepdims=True) + 0.1)
+        for s_ks in (0.0, 0.5, 1.0, 1.5, 2.0, -1.0):  # -1 = noise floor
+            pred_s = np.empty((n_pts, 3), np.float32)
+            for s in range(0, n_pts, chunk):
+                e = min(s + chunk, n_pts)
+                pad = chunk - (e - s)
+
+                def padded(a):
+                    a = jnp.asarray(np.asarray(a)[s:e], jnp.float32)
+                    return jnp.pad(a, ((0, pad),) + ((0, 0),)
+                                   * (a.ndim - 1))
+
+                key_ = (jax.random.PRNGKey(7) if s_ks != -1.0
+                        else jax.random.PRNGKey(13))
+                d, sp = render_split(
+                    jax.random.fold_in(key_, s),
+                    padded(buffers["points"]), padded(buffers["normals"]),
+                    padded(buffers["view_dirs"]), padded(mats_gt["kd"]),
+                    padded(mats_gt["ks"] * abs(s_ks)),
+                    padded(mats_gt["rough"]))
+                pred_s[s:e] = (np.asarray(d) + np.asarray(sp))[: e - s]
+            name = "noise_floor" if s_ks == -1.0 else str(s_ks)
+            curve[name] = float(
+                (w * np.square(pred_s - gt_rgb)).mean())
+        ident = {
+            "ks_loss_curve_crn": {k: round(v, 7) for k, v in curve.items()
+                                  if k != "noise_floor"},
+            # pure MC noise floor: independent-key rerender at GT ks
+            "noise_floor": round(curve["noise_floor"], 7),
+            # identifiability ratios: how far the s=0.5 / s=0 renders sit
+            # above what estimator noise alone produces. >> 1 = the DATA
+            # pins ks and any recovery failure is the estimator's fault.
+            "ks_half_over_noise": round(
+                curve["0.5"] / max(curve["noise_floor"], 1e-12), 2),
+            "ks_zero_over_noise": round(
+                curve["0.0"] / max(curve["noise_floor"], 1e-12), 2),
+        }
+        return (buffers, view_masks, mats_gt, centers, radii, sdf,
+                {**coverage, **ident})
+
+    fit_spp = int(os.environ.get("SPEC_FIT_SPP", "8"))
+
+    def fit(buffers, centers, radii, sdf, ks_prior_weight):
         mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
-        tcfg = MaterialTrainConfig(batch_size=1024, spp=8, vis_steps=16,
+        tcfg = MaterialTrainConfig(batch_size=1024, spp=fit_spp,
+                                   vis_steps=16,
                                    learning_rate=5e-3, steps=steps,
                                    smooth_weight=1e-4,
                                    ks_prior_weight=ks_prior_weight)
         params = {
             "material": material_net_init(jax.random.PRNGKey(5), mat_cfg),
-            "emission": emission_init(jnp.asarray([[2.0, 2.0, 2.0]])),
+            "emission": emission_init(
+                jnp.full((centers.shape[0], 3), 2.0, jnp.float32)),
         }
         tx = make_optimizer(tcfg.learning_rate, decay_steps=steps)
         step_fn, _, calibrate = make_material_train_step(
-            mat_cfg, tcfg, lambda q: scene_sdf(q), centers, radii, tx)
+            mat_cfg, tcfg, sdf, centers, radii, tx)
         key = jax.random.PRNGKey(9)
         key, k_cal = jax.random.split(key)
         params = calibrate(params, buffers, k_cal)
@@ -173,11 +286,19 @@ def main() -> int:
                 print(f"[spec fit {i + 1}/{steps}] rgb={losses[-1]:.5f}",
                       flush=True)
         dt = time.time() - t0
+        return state, losses, dt
+
+    def metrics(state, buffers, mats_gt, losses, dt, ks_prior_weight):
+        mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
         mats = material_net_apply(state.params["material"], mat_cfg,
                                   buffers["points"])
         kd = np.asarray(mats["kd"])
         ks = np.asarray(mats["ks"])
         rough = np.asarray(mats["rough"])
+        kd_gt = np.asarray(mats_gt["kd"])
+        ks_gt = np.asarray(mats_gt["ks"])
+        rough_gt = np.asarray(mats_gt["rough"])
+        on_sphere = rough_gt < 0.5
         scale = ((kd_gt * kd).sum(0)
                  / np.maximum((kd * kd).sum(0), 1e-9))
         return {
@@ -196,46 +317,67 @@ def main() -> int:
             "gt_ks_sphere": 0.35, "gt_ks_walls": 0.04,
             "rgb_mse_last5": round(float(np.mean(losses[-5:])), 6),
             "steps_per_sec": round(steps / dt, 2),
-        }, state, mat_cfg
-
-    print("[spec] fit A: shipped dielectric prior (0.01)", flush=True)
-    res_a, state_a, mat_cfg = fit(0.01)
-    print(json.dumps(res_a), flush=True)
-    print("[spec] fit B: soft prior (0.001)", flush=True)
-    res_b, state_b, _ = fit(0.001)
-    print(json.dumps(res_b), flush=True)
-
-    # roughness panel: fit A | fit B | GT, view 0
-    sel, pts_full = view_masks[0]
-
-    def rough_img(state):
-        img = np.zeros((H * W,), np.float32)
-        img[sel] = np.asarray(material_net_apply(
-            state.params["material"], mat_cfg,
-            jnp.asarray(pts_full[sel]))["rough"])
-        return img.reshape(H, W)
-
-    gt_img = np.zeros((H * W,), np.float32)
-    gt_img[sel] = np.asarray(scene_materials(
-        jnp.asarray(pts_full[sel]), glossy=True)["rough"])
-    panel = np.concatenate([rough_img(state_a), rough_img(state_b),
-                            gt_img.reshape(H, W)], axis=1)
-    png = os.path.join(out_dir, "specular_recovery_rough.png")
-    artifacts.write_colormap(png, panel)
+        }
 
     result = {
         "platform": jax.default_backend(),
         "device": str(jax.devices()[0]),
         "steps": steps, "gt_spp": gt_spp, "res": f"{H}x{W}",
-        "n_images": n_images,
-        "hard_prior": res_a,
-        "soft_prior": res_b,
-        "panel_png": os.path.relpath(png),
     }
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        result["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=repo,
+            capture_output=True, text=True).stdout.strip()
+    except Exception:
+        pass
+
+    captures = []
+    if capture_mode in ("r3", "both"):
+        captures.append(("capture_r3_single_light",
+                         orbit_views(8), DEFAULT_LIGHTS))
+    if capture_mode in ("r4", "both"):
+        lights = TWO_LIGHTS
+        captures.append(("capture_r4_two_lights_grazing",
+                         orbit_views(8) + r4_extra_views(lights), lights))
+
+    panel_state = panel_masks = None
+    for name, views, lights in captures:
+        print(f"[spec] building {name} ({len(views)} views, "
+              f"{len(lights)} lights)", flush=True)
+        (buffers, view_masks, mats_gt, centers, radii, sdf,
+         diag) = build_capture(views, lights)
+        print(f"[spec] {name} diagnostics: {json.dumps(diag)}", flush=True)
+        print(f"[spec] {name}: fit (soft prior 0.001)", flush=True)
+        state, losses, dt = fit(buffers, centers, radii, sdf, 0.001)
+        res = metrics(state, buffers, mats_gt, losses, dt, 0.001)
+        print(json.dumps(res), flush=True)
+        result[name] = {**diag, "n_views": len(views),
+                        "n_lights": len(lights), "soft_prior": res}
+        panel_state, panel_masks = state, view_masks
+
+    # ks panel on the last capture's highlight view (view index 8 = the
+    # first highlight-aimed one when present, else view 0)
+    vi = 8 if len(panel_masks) > 8 else 0
+    sel, pts_full = panel_masks[vi]
+    mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
+    ks_img = np.zeros((H * W,), np.float32)
+    ks_img[sel] = np.asarray(material_net_apply(
+        panel_state.params["material"], mat_cfg,
+        jnp.asarray(pts_full[sel]))["ks"]).mean(-1)
+    gt_img = np.zeros((H * W,), np.float32)
+    gt_img[sel] = np.asarray(scene_materials(
+        jnp.asarray(pts_full[sel]), glossy=True)["ks"]).mean(-1)
+    panel = np.concatenate([ks_img.reshape(H, W), gt_img.reshape(H, W)],
+                           axis=1)
+    png = os.path.join(out_dir, "specular_recovery_ks.png")
+    artifacts.write_colormap(png, panel)
+    result["panel_png"] = os.path.relpath(png)
+
     with open(os.path.join(out_dir, "specular_recovery.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({k: result[k] for k in
-                      ("platform", "hard_prior", "soft_prior")}))
+    print(json.dumps(result))
     return 0
 
 
