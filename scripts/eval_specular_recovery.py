@@ -255,6 +255,7 @@ def main() -> int:
                 {**coverage, **ident})
 
     fit_spp = int(os.environ.get("SPEC_FIT_SPP", "8"))
+    relmse_eps = float(os.environ.get("SPEC_RELMSE_EPS", "0.1"))
 
     def fit(buffers, centers, radii, sdf, ks_prior_weight):
         mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
@@ -262,6 +263,7 @@ def main() -> int:
                                    vis_steps=16,
                                    learning_rate=5e-3, steps=steps,
                                    smooth_weight=1e-4,
+                                   relative_mse_eps=relmse_eps,
                                    ks_prior_weight=ks_prior_weight)
         params = {
             "material": material_net_init(jax.random.PRNGKey(5), mat_cfg),
@@ -349,9 +351,13 @@ def main() -> int:
         (buffers, view_masks, mats_gt, centers, radii, sdf,
          diag) = build_capture(views, lights)
         print(f"[spec] {name} diagnostics: {json.dumps(diag)}", flush=True)
-        print(f"[spec] {name}: fit (soft prior 0.001)", flush=True)
-        state, losses, dt = fit(buffers, centers, radii, sdf, 0.001)
-        res = metrics(state, buffers, mats_gt, losses, dt, 0.001)
+        prior_w = float(os.environ.get("SPEC_PRIOR", "0.001"))
+        print(f"[spec] {name}: fit (prior {prior_w}, spp {fit_spp}, "
+              f"relmse_eps {relmse_eps})", flush=True)
+        state, losses, dt = fit(buffers, centers, radii, sdf, prior_w)
+        res = metrics(state, buffers, mats_gt, losses, dt, prior_w)
+        res["fit_spp"] = fit_spp
+        res["relative_mse_eps"] = relmse_eps
         print(json.dumps(res), flush=True)
         result[name] = {**diag, "n_views": len(views),
                         "n_lights": len(lights), "soft_prior": res}
