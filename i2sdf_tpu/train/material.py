@@ -64,6 +64,13 @@ class MaterialTrainConfig:
     vis_steps: int = 24
     smooth_weight: float = 0.01
     smooth_eps: float = 0.01  # world-space jitter for the smoothness pair
+    # opt-in ks smoothness (same jittered pair as kd/rough): specular
+    # albedo is as piecewise-smooth as the other channels, and its
+    # per-point MC gradient noise is far larger (the signal lives in a
+    # few downweighted highlight pixels) — measured on the glossy-scene
+    # recovery, within-region ks noise is what caps ks_corr. Default 0
+    # keeps the certified material-stage behavior bit-identical.
+    smooth_ks_weight: float = 0.0
     # dielectric prior on specular albedo: a maximally-rough GGX lobe is
     # nearly view-independent, so without a prior the optimizer can dump
     # diffuse energy into (high ks, rough~1) — an identifiability gap,
@@ -348,9 +355,11 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
         mats_j = material_net_apply(params["material"], mat_cfg, jit_pts)
         smooth = (jnp.abs(mats["kd"] - mats_j["kd"]).mean()
                   + jnp.abs(mats["rough"] - mats_j["rough"]).mean())
+        ks_smooth = jnp.abs(mats["ks"] - mats_j["ks"]).mean()
         ks_reg = jnp.abs(mats["ks"] - tcfg.ks_prior).mean()
         amb_reg = ambient_apply(params["emission"]).mean()
         loss = (rgb_loss + tcfg.smooth_weight * smooth
+                + tcfg.smooth_ks_weight * ks_smooth
                 + tcfg.ks_prior_weight * ks_reg
                 + tcfg.ambient_prior_weight * amb_reg)
         pred_mean = 0.5 * (pred_a + pred_b)

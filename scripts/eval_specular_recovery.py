@@ -256,6 +256,7 @@ def main() -> int:
 
     fit_spp = int(os.environ.get("SPEC_FIT_SPP", "8"))
     relmse_eps = float(os.environ.get("SPEC_RELMSE_EPS", "0.1"))
+    ks_smooth_w = float(os.environ.get("SPEC_KS_SMOOTH", "0.0"))
 
     def fit(buffers, centers, radii, sdf, ks_prior_weight):
         mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
@@ -264,6 +265,7 @@ def main() -> int:
                                    learning_rate=5e-3, steps=steps,
                                    smooth_weight=1e-4,
                                    relative_mse_eps=relmse_eps,
+                                   smooth_ks_weight=ks_smooth_w,
                                    ks_prior_weight=ks_prior_weight)
         params = {
             "material": material_net_init(jax.random.PRNGKey(5), mat_cfg),
@@ -358,6 +360,7 @@ def main() -> int:
         res = metrics(state, buffers, mats_gt, losses, dt, prior_w)
         res["fit_spp"] = fit_spp
         res["relative_mse_eps"] = relmse_eps
+        res["smooth_ks_weight"] = ks_smooth_w
         print(json.dumps(res), flush=True)
         result[name] = {**diag, "n_views": len(views),
                         "n_lights": len(lights), "soft_prior": res}
