@@ -238,9 +238,42 @@ def main() -> int:
             name = "noise_floor" if s_ks == -1.0 else str(s_ks)
             curve[name] = float(
                 (w * np.square(pred_s - gt_rgb)).mean())
+        # ---- joint (ks, rough) CRN surface (SPEC_JOINT=1): the 1D
+        # curve conditions on GT roughness, but the fit drifts along
+        # (rough up, ks down) — if the capture leaves a compensation
+        # ridge, the surface shows it as a flat valley off (1, 1).
+        joint = {}
+        if os.environ.get("SPEC_JOINT", "0") == "1":
+            for s_ks in (0.4, 0.7, 1.0, 1.3):
+                for s_r in (0.8, 1.0, 1.33):
+                    pred_s = np.empty((n_pts, 3), np.float32)
+                    for s in range(0, n_pts, chunk):
+                        e = min(s + chunk, n_pts)
+                        pad = chunk - (e - s)
+
+                        def padded(a):
+                            a = jnp.asarray(np.asarray(a)[s:e],
+                                            jnp.float32)
+                            return jnp.pad(a, ((0, pad),) + ((0, 0),)
+                                           * (a.ndim - 1))
+
+                        d, sp = render_split(
+                            jax.random.fold_in(jax.random.PRNGKey(7), s),
+                            padded(buffers["points"]),
+                            padded(buffers["normals"]),
+                            padded(buffers["view_dirs"]),
+                            padded(mats_gt["kd"]),
+                            padded(mats_gt["ks"] * s_ks),
+                            padded(jnp.clip(mats_gt["rough"] * s_r,
+                                            0.01, 1.0)))
+                        pred_s[s:e] = (np.asarray(d)
+                                       + np.asarray(sp))[: e - s]
+                    joint[f"ks{s_ks}_r{s_r}"] = round(float(
+                        (w * np.square(pred_s - gt_rgb)).mean()), 7)
         ident = {
             "ks_loss_curve_crn": {k: round(v, 7) for k, v in curve.items()
                                   if k != "noise_floor"},
+            **({"joint_ks_rough_surface_crn": joint} if joint else {}),
             # pure MC noise floor: independent-key rerender at GT ks
             "noise_floor": round(curve["noise_floor"], 7),
             # identifiability ratios: how far the s=0.5 / s=0 renders sit
