@@ -289,23 +289,31 @@ def main() -> int:
 
     fit_spp = int(os.environ.get("SPEC_FIT_SPP", "8"))
     relmse_eps = float(os.environ.get("SPEC_RELMSE_EPS", "0.1"))
+    relmse_pow = float(os.environ.get("SPEC_RELMSE_POW", "2.0"))
     ks_smooth_w = float(os.environ.get("SPEC_KS_SMOOTH", "0.0"))
 
-    def fit(buffers, centers, radii, sdf, ks_prior_weight):
+    def fit(buffers, centers, radii, sdf, ks_prior_weight,
+            spp=None, eps=None, pow_=None, smooth=None, n_steps=None):
+        spp = fit_spp if spp is None else spp
+        eps = relmse_eps if eps is None else eps
+        pow_ = relmse_pow if pow_ is None else pow_
+        smooth = ks_smooth_w if smooth is None else smooth
+        n_steps = steps if n_steps is None else n_steps
         mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
-        tcfg = MaterialTrainConfig(batch_size=1024, spp=fit_spp,
+        tcfg = MaterialTrainConfig(batch_size=1024, spp=spp,
                                    vis_steps=16,
-                                   learning_rate=5e-3, steps=steps,
+                                   learning_rate=5e-3, steps=n_steps,
                                    smooth_weight=1e-4,
-                                   relative_mse_eps=relmse_eps,
-                                   smooth_ks_weight=ks_smooth_w,
+                                   relative_mse_eps=eps,
+                                   relative_mse_pow=pow_,
+                                   smooth_ks_weight=smooth,
                                    ks_prior_weight=ks_prior_weight)
         params = {
             "material": material_net_init(jax.random.PRNGKey(5), mat_cfg),
             "emission": emission_init(
                 jnp.full((centers.shape[0], 3), 2.0, jnp.float32)),
         }
-        tx = make_optimizer(tcfg.learning_rate, decay_steps=steps)
+        tx = make_optimizer(tcfg.learning_rate, decay_steps=n_steps)
         step_fn, _, calibrate = make_material_train_step(
             mat_cfg, tcfg, sdf, centers, radii, tx)
         key = jax.random.PRNGKey(9)
@@ -315,17 +323,19 @@ def main() -> int:
                            opt_state=tx.init(params))
         t0 = time.time()
         losses = []
-        for i in range(steps):
+        for i in range(n_steps):
             key, k = jax.random.split(key)
             state, m = step_fn(state, buffers, k)
             losses.append(float(m["rgb_loss"]))
             if (i + 1) % 1000 == 0:
-                print(f"[spec fit {i + 1}/{steps}] rgb={losses[-1]:.5f}",
+                print(f"[spec fit {i + 1}/{n_steps}] rgb={losses[-1]:.5f}",
                       flush=True)
         dt = time.time() - t0
-        return state, losses, dt
+        return state, losses, dt, n_steps
 
-    def metrics(state, buffers, mats_gt, losses, dt, ks_prior_weight):
+    def metrics(state, buffers, mats_gt, losses, dt, ks_prior_weight,
+                n_steps=None):
+        n_steps = steps if n_steps is None else n_steps
         mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
         mats = material_net_apply(state.params["material"], mat_cfg,
                                   buffers["points"])
@@ -353,7 +363,7 @@ def main() -> int:
             "gt_rough_sphere": 0.15, "gt_rough_walls": 0.7,
             "gt_ks_sphere": 0.35, "gt_ks_walls": 0.04,
             "rgb_mse_last5": round(float(np.mean(losses[-5:])), 6),
-            "steps_per_sec": round(steps / dt, 2),
+            "steps_per_sec": round(n_steps / dt, 2),
         }
 
     result = {
@@ -379,6 +389,21 @@ def main() -> int:
         captures.append(("capture_r4_two_lights_grazing",
                          orbit_views(8) + r4_extra_views(lights), lights))
 
+    # Estimator ablation: SPEC_SWEEP="pow=1;pow=1,spp=16;pow=0" runs
+    # each ';'-separated config (k=v pairs: pow/spp/eps/smooth/prior/
+    # steps) against the SAME baked capture, at SPEC_SWEEP_STEPS
+    # (default 3000) unless the config sets steps itself. The capture +
+    # GT bake dominate wall time, so one invocation A/Bs the whole
+    # estimator family.
+    sweep_spec = os.environ.get("SPEC_SWEEP", "")
+
+    def parse_sweep(spec):
+        cfgs = []
+        for item in spec.split(";"):
+            kv = dict(tok.split("=") for tok in item.split(",") if tok)
+            cfgs.append(kv)
+        return cfgs
+
     panel_state = panel_masks = None
     for name, views, lights in captures:
         print(f"[spec] building {name} ({len(views)} views, "
@@ -387,16 +412,40 @@ def main() -> int:
          diag) = build_capture(views, lights)
         print(f"[spec] {name} diagnostics: {json.dumps(diag)}", flush=True)
         prior_w = float(os.environ.get("SPEC_PRIOR", "0.001"))
+        sweep_out = {}
+        if sweep_spec:
+            sweep_steps = int(os.environ.get("SPEC_SWEEP_STEPS", "3000"))
+            for kv in parse_sweep(sweep_spec):
+                tag = ",".join(f"{k}={v}" for k, v in sorted(kv.items()))
+                print(f"[spec] {name}: sweep fit [{tag}]", flush=True)
+                state, losses, dt, nst = fit(
+                    buffers, centers, radii, sdf,
+                    float(kv.get("prior", prior_w)),
+                    spp=int(kv["spp"]) if "spp" in kv else None,
+                    eps=float(kv["eps"]) if "eps" in kv else None,
+                    pow_=float(kv["pow"]) if "pow" in kv else None,
+                    smooth=(float(kv["smooth"])
+                            if "smooth" in kv else None),
+                    n_steps=int(kv.get("steps", sweep_steps)))
+                res = metrics(state, buffers, mats_gt, losses, dt,
+                              float(kv.get("prior", prior_w)), nst)
+                print(json.dumps({tag: res}), flush=True)
+                sweep_out[tag] = res
         print(f"[spec] {name}: fit (prior {prior_w}, spp {fit_spp}, "
-              f"relmse_eps {relmse_eps})", flush=True)
-        state, losses, dt = fit(buffers, centers, radii, sdf, prior_w)
-        res = metrics(state, buffers, mats_gt, losses, dt, prior_w)
+              f"relmse_eps {relmse_eps}, relmse_pow {relmse_pow})",
+              flush=True)
+        state, losses, dt, nst = fit(buffers, centers, radii, sdf,
+                                     prior_w)
+        res = metrics(state, buffers, mats_gt, losses, dt, prior_w, nst)
         res["fit_spp"] = fit_spp
         res["relative_mse_eps"] = relmse_eps
+        res["relative_mse_pow"] = relmse_pow
         res["smooth_ks_weight"] = ks_smooth_w
         print(json.dumps(res), flush=True)
         result[name] = {**diag, "n_views": len(views),
-                        "n_lights": len(lights), "soft_prior": res}
+                        "n_lights": len(lights), "soft_prior": res,
+                        **({"estimator_sweep": sweep_out}
+                           if sweep_out else {})}
         panel_state, panel_masks = state, view_masks
 
     # ks panel on the last capture's highlight view (view index 8 = the

@@ -325,6 +325,56 @@ def test_material_step_dp_equivalence():
         p_single, p_mesh)
 
 
+@pytest.mark.slow  # 4 independent train-step traces (~40 s compile)
+def test_relative_mse_pow_weighting():
+    """`relative_mse_pow` (round 4, ks-identifiability estimator fix):
+    pow=0 must reproduce the UNWEIGHTED loss exactly (w == 1), pow
+    must actually enter the data term, and the knob must ride the
+    generic from_cfgnode plumbing."""
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n = 256
+    pts = jax.random.uniform(k1, (n, 3), minval=-1.0, maxval=1.0)
+    normals = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    view = jax.random.normal(k2, (n, 3))
+    view = view.at[:, 2].set(jnp.abs(view[:, 2]) + 0.4)
+    view = view / jnp.linalg.norm(view, axis=-1, keepdims=True)
+    # HDR-ish spread so the relative weight is far from constant
+    gt = jax.random.uniform(k3, (n, 3)) * jnp.asarray([8.0, 1.0, 0.1])
+    buffers = {"points": pts, "normals": normals, "view_dirs": view,
+               "rgb": gt}
+    centers = jnp.asarray([[0.0, 0.0, 2.0]])
+    radii = jnp.asarray([1.0])
+    mat_cfg = MaterialNetConfig(dims=(16, 16), multires=2)
+    params = {
+        "material": material_net_init(jax.random.PRNGKey(7), mat_cfg),
+        "emission": emission_init(jnp.ones((1, 3))),
+    }
+
+    def total_loss_for(**kw):
+        # The `loss` metric carries the weighted data term (the
+        # `rgb_loss` metric is deliberately the unweighted diagnostic
+        # MSE of the mean prediction, identical across weightings).
+        tcfg = MaterialTrainConfig(batch_size=64, spp=2, vis_steps=4,
+                                   **kw)
+        state, tx = create_train_state(params, learning_rate=1e-3,
+                                       decay_steps=100)
+        step, _, _ = make_material_train_step(mat_cfg, tcfg, empty_sdf,
+                                              centers, radii, tx)
+        _, metrics = step(state, buffers, jax.random.PRNGKey(11))
+        return float(metrics["loss"])
+
+    unweighted = total_loss_for(relative_mse=False)
+    pow0 = total_loss_for(relative_mse=True, relative_mse_pow=0.0)
+    pow1 = total_loss_for(relative_mse=True, relative_mse_pow=1.0)
+    pow2 = total_loss_for(relative_mse=True)  # default stays 2.0
+    np.testing.assert_allclose(pow0, unweighted, rtol=1e-6)
+    assert abs(pow1 - pow2) > 1e-8 and abs(pow1 - pow0) > 1e-8
+
+    node = CfgNode({"relative_mse_pow": 1.0})
+    assert MaterialTrainConfig.from_cfgnode(node).relative_mse_pow == 1.0
+
+
 TINY_MODEL = {
     "feature_vector_size": 32,
     "scene_bounding_sphere": 4.0,
