@@ -34,8 +34,25 @@ luminance.
 Legacy capture reproducible with SPEC_CAPTURE=r3 (8 orbit views, one
 light — the round-3 evidence configuration).
 
-Env knobs: SPEC_STEPS (default 6000), SPEC_RES ("48x64"),
-SPEC_GT_SPP (128), SPEC_CAPTURE ("r4"|"r3"|"both"), SPEC_OUT.
+Round-4 estimator resolution (docs/evidence/specular_estimator_sweep.json,
+three TPU sweeps via SPEC_SWEEP): the round-3 ks failure (corr 0.16-0.38)
+had two stacked causes. (1) At 48x64 the rough-0.15 highlight subtends
+~1px, so its WIDTH is unresolved and (ks up, rough down) moves along a
+loss ridge — aggressive data weighting (pow 0-1, spp 16) then reaches
+ks_corr 0.88-1.0 only by saturating sphere ks to ~0.9 with rough
+collapsed to 0.04 (corr-flattering, not recovery). (2) With the data
+term ridge-weakened, the dielectric ks prior (0.001) drags sphere ks
+toward 0.04. At 96x128 (highlight resolved) the CLASSICAL relative-L2
+(pow 2) already reaches ks_corr 0.795 with every field near GT, and
+cutting the prior to 0.0003 frees the amplitude: ks_corr 0.973 with
+ks_sphere 0.387 vs GT 0.35 (11%), rough 0.194/0.789 vs GT 0.15/0.7.
+Those are the shipped defaults below. 6000-step fits drift back up the
+ridge at prior 0.001 (rough_sphere 0.04 by step 6000); 3000 is the
+evidence protocol.
+
+Env knobs: SPEC_STEPS (default 3000), SPEC_RES ("96x128"),
+SPEC_GT_SPP (128), SPEC_CAPTURE ("r4"|"r3"|"both"), SPEC_PRIOR
+(0.0003), SPEC_OUT, SPEC_SWEEP (see parse_sweep).
 """
 
 from __future__ import annotations
@@ -71,8 +88,8 @@ def main() -> int:
     from i2sdf_tpu.train.state import TrainState, make_optimizer
     from i2sdf_tpu.train import artifacts
 
-    steps = int(os.environ.get("SPEC_STEPS", "6000"))
-    H, W = (int(x) for x in os.environ.get("SPEC_RES", "48x64").split("x"))
+    steps = int(os.environ.get("SPEC_STEPS", "3000"))
+    H, W = (int(x) for x in os.environ.get("SPEC_RES", "96x128").split("x"))
     gt_spp = int(os.environ.get("SPEC_GT_SPP", "128"))
     capture_mode = os.environ.get("SPEC_CAPTURE", "r4")
     out_dir = os.environ.get(
@@ -411,7 +428,11 @@ def main() -> int:
         (buffers, view_masks, mats_gt, centers, radii, sdf,
          diag) = build_capture(views, lights)
         print(f"[spec] {name} diagnostics: {json.dumps(diag)}", flush=True)
-        prior_w = float(os.environ.get("SPEC_PRIOR", "0.001"))
+        # 0.0003, not the material stage's 0.001 default: with the
+        # highlight resolved the data term pins ks (CRN curve 34 sigma)
+        # and the stronger prior only biases the amplitude down (0.24
+        # vs GT 0.35 at 0.001; 0.39 at 0.0003 — estimator sweep 3).
+        prior_w = float(os.environ.get("SPEC_PRIOR", "0.0003"))
         sweep_out = {}
         if sweep_spec:
             sweep_steps = int(os.environ.get("SPEC_SWEEP_STEPS", "3000"))
