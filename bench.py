@@ -340,9 +340,17 @@ def child_main():
     # compiled program, so the ladder re-times the same executable with
     # the beta leaf overwritten — no recompiles. Weights = fraction of
     # the 200k run spent in each beta decade (BASELINE.md, from the
-    # quality run's TB beta curve). Skipped on CPU (BENCH_SUSTAINED=0
-    # also skips): the ladder would add minutes for a non-headline
-    # number.
+    # quality run's TB beta curve).
+    #
+    # WHAT "SUSTAINED" EXCLUDES: this is the steady-state TRAINING
+    # step only — no bubble-window sampling overhead, no validation
+    # renders, no checkpoint writes, no pdf init, no compile time. The
+    # honest WHOLE-RUN number (all of the above included over the full
+    # 200k reference schedule) is measured end-to-end by
+    # scripts/tpu_sustained_200k.sh and recorded in BASELINE.md — it is
+    # NECESSARILY lower than `sustained_rays_per_sec`.
+    # Skipped on CPU (BENCH_SUSTAINED=0 also skips): the ladder would
+    # add minutes for a non-headline number.
     want_sustained = os.environ.get("BENCH_SUSTAINED", "1") == "1"
     if want_sustained and jax.default_backend() != "cpu":
         ladder = ((0.1, 0.01), (0.03, 0.03), (0.01, 0.08),

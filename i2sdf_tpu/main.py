@@ -154,6 +154,11 @@ def main(argv=None) -> int:
     np.random.seed(args.seed)
 
     conf = load_cfg(args.conf)
+    # --seed reaches the model init and the per-step RNG stream (the
+    # trainer reads conf.seed); an explicit YAML `seed:` key wins unless
+    # the flag was set to a non-default value on the command line.
+    if args.seed != 42 or "seed" not in conf:
+        conf.seed = args.seed
     exp_dir = resolve_exp_dir(args, conf)
     os.makedirs(exp_dir, exist_ok=True)
     print(f"[INFO] experiment dir: {exp_dir}")

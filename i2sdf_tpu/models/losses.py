@@ -69,13 +69,23 @@ class LossConfig:
             angular_reference_bug=conf.get("angular_reference_bug", False),
         )
 
-    def dynamic_weights(self, step: int) -> dict:
-        """Host-side per-step weight schedule (bubble window semantics)."""
+    def weights_key(self, step: int) -> tuple:
+        """Milestone signature of `dynamic_weights(step)`: the weights
+        only change when the bubble window opens/closes or the smooth
+        loss activates, so the trainer caches the device-array dict per
+        signature — building 8 eager jnp scalars EVERY step costs more
+        host time than the jitted step's dispatch (measured ~8 ms/step
+        of host overhead on the quality scene, round 5)."""
         in_bubble = (
             self.bubble_weight > 0
             and self.max_bubble_iter is not None
             and self.min_bubble_iter <= step < self.max_bubble_iter)
         smooth_on = self.smooth_iter is None or step > self.smooth_iter
+        return (in_bubble, smooth_on)
+
+    def dynamic_weights(self, step: int) -> dict:
+        """Host-side per-step weight schedule (bubble window semantics)."""
+        in_bubble, smooth_on = self.weights_key(step)
         return {
             "eikonal": jnp.float32(self.eikonal_weight),
             "smooth": jnp.float32(

@@ -100,8 +100,13 @@ class SamplerConfig:
     # error-bound pdf has already concentrated). Late rounds refine an
     # already-concentrated pdf, so a tapering schedule (e.g. 128,128,
     # 96,64,64) cuts the sampler's no-grad MLP evals 25% and shrinks
-    # every downstream (R, S) round kernel/merge — quality-gated by a
-    # real-training trajectory A/B (docs/evidence/eval_counts_ab.json).
+    # every downstream (R, S) round kernel/merge. Quality evidence:
+    # (a) a 2048-ray exact-density quadrature oracle on the analytic
+    # scene bounds the per-step rgb error at <0.0007 across the beta
+    # ladder (docs/evidence/eval_counts_ab.json — the more aggressive
+    # 384-eval taper BREACHES the bound and is the recorded negative
+    # result); (b) end-to-end 50k-step training A/Bs, same seed, taper
+    # on/off, on the quality scene (docs/evidence/quality_variance/).
     round_eval_counts: tuple | None = None
 
     @property

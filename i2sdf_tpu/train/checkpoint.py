@@ -39,7 +39,14 @@ class CheckpointManager:
         }
         if bubble is not None:
             payload["bubble"] = bubble
+        # async write: orbax copies device->host synchronously inside
+        # save() (so donated buffers are safe to reuse immediately) and
+        # streams to disk in the background; training overlaps the
+        # write. A still-pending save is finalized by the NEXT save, by
+        # restore()/close(), or by wait_until_finished().
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
+
+    def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
@@ -49,6 +56,7 @@ class CheckpointManager:
                 bubble_template: dict | None = None,
                 step: int | None = None):
         """Returns (TrainState, bubble dict | None)."""
+        self._mgr.wait_until_finished()  # a pending async save may hold
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoint under {self.ckpt_dir}")

@@ -94,15 +94,14 @@ class MaterialTrainConfig:
     # is the standard inverse-rendering relative-L2.
     relative_mse: bool = True
     relative_mse_eps: float = 0.1
-    # exponent on the luminance normalizer. 2.0 is the classical
-    # relative-L2, but it suppresses specular-highlight pixels
-    # quadratically (a highlight 20x the diffuse level gets ~0.25% of
-    # a diffuse pixel's weight), which starves the ks/roughness data
-    # term — the specular-recovery eval measured ks_corr 0.38 at pow 2
-    # on a capture whose CRN loss surface pins ks at 38 sigma. pow 1
-    # keeps the heavy-tail damping (emitter-adjacent pixels still
-    # downweighted ~linearly) while leaving highlights enough gradient
-    # to identify specular amplitude.
+    # exponent on the luminance normalizer. 2.0 (the classical
+    # relative-L2) is the validated estimator: the round-4 sweep
+    # (docs/evidence/specular_estimator_sweep.json) showed that pow 0-1
+    # reaches high ks_corr at UNRESOLVED highlight resolution only via a
+    # degenerate ks~0.9 / roughness~0.04 collapse — corr-flattering, not
+    # recovery — while at resolved resolution (96x128) pow 2 recovers
+    # ks, roughness, and albedo simultaneously. The knob exists for
+    # ablation only; keep 2.0.
     relative_mse_pow: float = 2.0
     # Newton-project baked points onto the frozen SDF's zero level-set
     # (see project_to_surface) — volume-rendered depth is biased and
@@ -353,8 +352,17 @@ def make_material_train_step(mat_cfg: MaterialNetConfig,
         res_a = jax.lax.stop_gradient(pred_a) - gt
         res_b = jax.lax.stop_gradient(pred_b) - gt
         if tcfg.relative_mse:
-            w = (gt.mean(-1, keepdims=True)
-                 + tcfg.relative_mse_eps) ** (-tcfg.relative_mse_pow)
+            lum = gt.mean(-1, keepdims=True) + tcfg.relative_mse_eps
+            if tcfg.relative_mse_pow == 2.0:
+                # certified default: keep the original 1/(lum+eps)^2
+                # lowering bit-identical (the generic pow lowering
+                # differs by ~3e-6 relative on TPU and would silently
+                # drift every default run's numerics)
+                w = 1.0 / jnp.square(lum)
+            else:
+                # ablation path; clamp the base so a luminance below
+                # -eps cannot NaN under a non-integer exponent
+                w = jnp.maximum(lum, 1e-6) ** (-tcfg.relative_mse_pow)
         else:
             w = 1.0
         rgb_loss = (w * (res_a * pred_b + res_b * pred_a)).mean()
@@ -790,6 +798,7 @@ class MaterialTrainer:
                     and step % self.tcfg.checkpoint_freq == 0):
                 self.ckpt.save(step, self.state)
         self.ckpt.save(int(self.state.step), self.state)
+        self.ckpt.wait_until_finished()  # flush the async final save
         emission = np.asarray(emission_apply(self.state.params["emission"]))
         print(f"[material] done; learned emission = "
               f"{np.round(emission, 4).tolist()}")

@@ -34,25 +34,26 @@ def _auto_fused(fused_sampler):
 
 # Per-ray sampler compaction phases: (beta_floor, per_ray_fracs) — the
 # first row whose floor < beta wins; `None` means plain global early
-# exit (it converges by round 1-2 at large beta, so compaction adds
-# only overhead there). Capacities are calibrated from the measured
-# per-round converged fractions on the 200k quality checkpoint
-# (scripts/diag_per_ray.py; docs/evidence/round2_cpu.json): e.g. at
-# beta=0.03, 31% of rays converge after round 1 and 90% after round 2,
-# while the GLOBAL exit (jnp.all) never fires. Caps sit well above the
-# measured unconverged fractions; the remaining quality cost comes
-# from CONVERGED rays losing the bonus refinement the reference's
-# global loop gives them — measured on resumed-checkpoint A/Bs at
-# beta=0.01: +4.2% loss at caps (.5,.25), +2.0% at (.75,.5), +1% at
-# the late-schedule phase. The ladder below takes the conservative
-# points; tighten per-config via ray_sampler.per_ray_fracs if speed
-# matters more. The trainer re-specializes the jitted step whenever
-# the learned beta crosses a phase boundary (cached recompiles).
+# exit. Round-5 revision (VERDICT r4 task 3): the capacities are now
+# ERROR-BOUND-GATED — each cap is the measured UNCONVERGED fraction at
+# that beta plus a 5% margin (scripts/diag_per_ray.py on the 50k-step
+# quality-trajectory checkpoint, docs/evidence/quality_variance/
+# per_ray_neutral.json), so no ray whose beta0 error bound still
+# exceeds eps is ever denied a refinement round, and converged rays
+# keep their bonus refinement up to the cap — quality-neutral by
+# construction (the round-4 fixed-frac ladder cost +1-4% loss exactly
+# because its caps sat BELOW the unconverged fraction mid-schedule).
+# The measured fractions also bound what compaction can ever win: at
+# the dominant beta<=1e-3 regime 94%+ of rays are unconverged after
+# every refinement round (nothing to compact — phase None), and only
+# round 4 has slack at mid-beta. The trainer re-specializes the jitted
+# step when beta crosses a phase boundary (cached recompiles).
 PER_RAY_PHASES = (
-    (0.05, None),
-    (0.02, (1.0, 0.875, 0.5, 0.375)),
-    (0.005, (1.0, 1.0, 0.75, 0.5)),
-    (0.0, (1.0, 1.0, 1.0, 0.5)),
+    (0.05, None),                       # global exit fires by round 3
+    (0.02, (1.0, 1.0, 1.0, 0.77)),      # beta~0.03: 28% conv @round 3
+    (0.005, (1.0, 1.0, 1.0, 0.66)),     # beta~0.01: 40% conv @round 3
+    (0.002, (1.0, 1.0, 1.0, 0.85)),     # beta~0.003: 21% conv @round 3
+    (0.0, None),                        # beta<=1e-3: nothing to skip
 )
 
 
@@ -89,7 +90,8 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
                     pdf_criterion: str = "DEPTH",
                     donate: bool = True, fused_sampler: bool | None = None,
                     fused_train_grad: bool | None = None,
-                    angular_reference_bug: bool = False):
+                    angular_reference_bug: bool = False,
+                    bubble_draw_every: int = 1):
     """Build the jitted step.
 
     Signature of the returned fn (bubble=False):
@@ -99,8 +101,19 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
             -> (state, metrics, pdf, sample_count)
     where `pdf`/`sample_count` are (P,) device arrays over the bubble
     point cloud (parity: trainer/recon.py:142-170,242-252).
+
+    `bubble_draw_every=K > 1` amortizes the bucketed categorical draw:
+    every K-th step draws K batches of bubble indices from the live pdf
+    in ONE two-stage categorical; intermediate steps slice from the
+    queue (pdf scatter updates and sample counts stay per-step, so the
+    error signal itself is never stale — only the DRAW sees a pdf up to
+    K steps old, the same staleness the reference's per-step
+    multinomial would tolerate at its update cadence). The step then
+    takes/returns two extra leaves: (bubble_queue (K*bs,) int32,
+    queue_pos () int32).
     """
     bubble_bs = bubble_batch_size or batch_size
+    draw_every = max(int(bubble_draw_every), 1)
     fused = _auto_fused(fused_sampler)
     # reverse-sweep custom-VJP (fused_rev v2) wins the full step on TPU
     # since the wide-block PE change (44.9 vs 55.8 ms at the flagship
@@ -108,36 +121,38 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
     # bottleneck) — default ON for TPU backends, like the fused sampler
     fused_grad = _auto_fused(fused_train_grad)
 
-    def loss_and_metrics(params, data: DeviceArrays, key, weights):
+    def _draw_bubble(pdf, k_bubble, n_draws: int):
+        # Two-stage bucketed categorical sampling over the live pdf:
+        # bucket masses (one reduce over P) -> per-draw bucket choice
+        # -> within-bucket choice on gathered rows. Replaces a
+        # P-wide Gumbel top-k (P can be ~16M points: RNG + top_k over
+        # the full cloud cost ~40 ms/step; this is ~P-read + O(k)).
+        # Sampling is WITH replacement — for k=1600 draws from
+        # millions of points the collision probability is negligible
+        # vs torch.multinomial(replacement=False) in the reference.
+        n_buckets = 4096
+        p_pad = (-pdf.shape[0]) % n_buckets
+        pdf2d = jnp.pad(pdf, (0, p_pad)).reshape(n_buckets, -1)
+        per_bucket = pdf2d.shape[1]
+        k_b, k_w = jax.random.split(k_bubble)
+        log_mass = jnp.log(jnp.maximum(pdf2d.sum(-1), 1e-20))
+        log_mass = jnp.where(pdf2d.sum(-1) > 0, log_mass, -jnp.inf)
+        b_idx = jax.random.categorical(k_b, log_mass, shape=(n_draws,))
+        rows = pdf2d[b_idx]  # (n_draws, per_bucket)
+        log_rows = jnp.where(rows > 0,
+                             jnp.log(jnp.maximum(rows, 1e-20)),
+                             -jnp.inf)
+        w_idx = jax.random.categorical(k_w, log_rows, axis=-1)
+        return jnp.minimum(b_idx * per_bucket + w_idx, pdf.shape[0] - 1)
+
+    def loss_and_metrics(params, data: DeviceArrays, key, weights,
+                         bubble_idx=None):
+        # k_bubble is consumed by the caller's draw (kept in the split
+        # so k_batch/k_render stay bit-identical to the round-4 layout)
         k_batch, k_bubble, k_render = jax.random.split(key, 3)
         indices, inputs, gt = sample_batch(data, k_batch, batch_size)
 
-        bubble_idx = None
         if bubble:
-            # Two-stage bucketed categorical sampling over the live pdf:
-            # bucket masses (one reduce over P) -> per-draw bucket choice
-            # -> within-bucket choice on gathered rows. Replaces a
-            # P-wide Gumbel top-k (P can be ~16M points: RNG + top_k over
-            # the full cloud cost ~40 ms/step; this is ~P-read + O(k)).
-            # Sampling is WITH replacement — for k=1600 draws from
-            # millions of points the collision probability is negligible
-            # vs torch.multinomial(replacement=False) in the reference.
-            pdf = weights["_pdf"]
-            n_buckets = 4096
-            p_pad = (-pdf.shape[0]) % n_buckets
-            pdf2d = jnp.pad(pdf, (0, p_pad)).reshape(n_buckets, -1)
-            per_bucket = pdf2d.shape[1]
-            k_b, k_w = jax.random.split(k_bubble)
-            log_mass = jnp.log(jnp.maximum(pdf2d.sum(-1), 1e-20))
-            log_mass = jnp.where(pdf2d.sum(-1) > 0, log_mass, -jnp.inf)
-            b_idx = jax.random.categorical(k_b, log_mass, shape=(bubble_bs,))
-            rows = pdf2d[b_idx]  # (k, per_bucket)
-            log_rows = jnp.where(rows > 0,
-                                 jnp.log(jnp.maximum(rows, 1e-20)),
-                                 -jnp.inf)
-            w_idx = jax.random.categorical(k_w, log_rows, axis=-1)
-            bubble_idx = jnp.minimum(b_idx * per_bucket + w_idx,
-                                     pdf.shape[0] - 1)
             inputs["pointcloud"] = data.pointcloud[bubble_idx]
 
         if mesh is not None:
@@ -178,10 +193,35 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
         return pdf.at[links].set(values, mode="drop")
 
     def step(state, data: DeviceArrays, key, weights,
-             pdf=None, sample_count=None):
+             pdf=None, sample_count=None, bubble_queue=None,
+             queue_pos=None):
+        # `key` is the run's BASE key; the per-step key is folded here,
+        # inside the jitted program (threefry fold_in is deterministic,
+        # so this is bit-identical to the host-side fold the trainer
+        # used to do — but saves one eager dispatch per step, ~1-2 ms
+        # of host time on this container's tunnel-attached TPU)
+        key = jax.random.fold_in(key, state.step)
+        bubble_idx = None
         if bubble:
-            weights = dict(weights, _pdf=pdf)
-        (_, aux), grads = grad_fn(state.params, data, key, weights)
+            # same split layout as inside loss_and_metrics, so the
+            # draw consumes the identical k_bubble the round-4 in-loss
+            # draw did (bit-exact default path)
+            _, k_bubble, _ = jax.random.split(key, 3)
+            if draw_every == 1:
+                bubble_idx = _draw_bubble(pdf, k_bubble, bubble_bs)
+            else:
+                pos = queue_pos % draw_every
+                bubble_queue = jax.lax.cond(
+                    pos == 0,
+                    lambda q: _draw_bubble(pdf, k_bubble,
+                                           bubble_bs * draw_every),
+                    lambda q: q,
+                    bubble_queue)
+                bubble_idx = jax.lax.dynamic_slice(
+                    bubble_queue, (pos * bubble_bs,), (bubble_bs,))
+                queue_pos = queue_pos + 1
+        (_, aux), grads = grad_fn(state.params, data, key, weights,
+                                  bubble_idx)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state._replace(
@@ -195,13 +235,18 @@ def make_train_step(model_cfg, tx: optax.GradientTransformation,
                              axis=-1))
             pdf = _update_pdf(pdf, data, jax.lax.stop_gradient(crit),
                               aux["indices"])
-            sample_count = sample_count.at[aux["bubble_idx"]].add(1)
+            sample_count = sample_count.at[bubble_idx].add(1)
+            if draw_every > 1:
+                return (new_state, metrics, pdf, sample_count,
+                        bubble_queue, queue_pos)
             return new_state, metrics, pdf, sample_count
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
     if bubble and donate:
         donate_argnums = (0, 4, 5)
+        if draw_every > 1:
+            donate_argnums = (0, 4, 5, 6)
     return jax.jit(step, donate_argnums=donate_argnums)
 
 

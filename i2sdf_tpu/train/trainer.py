@@ -165,6 +165,9 @@ class ReconstructionTrainer:
         self.batch_size = conf.train.batch_size
         self.bubble_batch_size = conf.train.get("bubble_batch_size",
                                                 self.batch_size)
+        # K>1 amortizes the in-window bubble draw: one K-batch
+        # categorical every K steps (step.py::make_train_step docstring)
+        self.bubble_draw_every = int(conf.train.get("bubble_draw_every", 1))
         self.pdf_criterion = conf.train.get("pdf_criterion", "DEPTH")
         assert self.pdf_criterion in ("RGB", "DEPTH")
         self.uniform_bubble = conf.train.get("uniform_bubble", False)
@@ -244,6 +247,8 @@ class ReconstructionTrainer:
         self.bubble_activated = False
         self.pdf = None
         self.sample_count = None
+        self.bubble_queue = None
+        self.queue_pos = None
 
         # observability
         try:
@@ -255,6 +260,12 @@ class ReconstructionTrainer:
         self.lpips = lpips_fn()
         self.ckpt = CheckpointManager(
             os.path.join(exp_dir, "checkpoints", "orbax"))
+        # validation artifacts (PNG/EXR/HTML encodes) are pure host IO —
+        # write them on a worker thread so the device goes straight back
+        # to training after each val render
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._io_pool = ThreadPoolExecutor(max_workers=2)
 
         with open(os.path.join(exp_dir, "config.yml"), "w") as f:
             f.write(conf.dump())
@@ -310,20 +321,23 @@ class ReconstructionTrainer:
         print(f"[INFO] {nz}/{n_points} points to be sampled")
         self._write_hotmaps()
 
-    def _write_hotmaps(self) -> None:
+    def _write_hotmaps(self, sync: bool = False) -> None:
         ds = self.train_data
         step = int(self.state.step)
         trace_dir = os.path.join(self.plots_dir, "bubble")
-        artifacts.write_hotmaps(
-            os.path.join(self.exp_dir, "hotmap"), np.asarray(self.pdf),
-            ds.pixlinks, ds.n_images, ds.img_res, step=step,
-            trace_idx=self.trace_bub_idx, trace_dir=trace_dir)
+        pdf_np = np.asarray(self.pdf)  # device pull stays synchronous
+        submit = ((lambda fn, *a, **kw: fn(*a, **kw)) if sync
+                  else self._io_pool.submit)
+        submit(artifacts.write_hotmaps,
+               os.path.join(self.exp_dir, "hotmap"), pdf_np,
+               ds.pixlinks, ds.n_images, ds.img_res, step=step,
+               trace_idx=self.trace_bub_idx, trace_dir=trace_dir)
         if self.sample_count is not None:
-            artifacts.write_countmaps(
-                os.path.join(self.exp_dir, "countmap"),
-                np.asarray(self.sample_count), ds.pixlinks, ds.n_images,
-                ds.img_res, step=step, trace_idx=self.trace_bub_idx,
-                trace_dir=trace_dir)
+            submit(artifacts.write_countmaps,
+                   os.path.join(self.exp_dir, "countmap"),
+                   np.asarray(self.sample_count), ds.pixlinks, ds.n_images,
+                   ds.img_res, step=step, trace_idx=self.trace_bub_idx,
+                   trace_dir=trace_dir)
 
     def _cfg_for_fracs(self, fracs):
         from .step import cfg_with_fracs
@@ -336,7 +350,8 @@ class ReconstructionTrainer:
             kwargs = dict(self._step_kwargs)
             if bubble:
                 kwargs.update(bubble=True,
-                              bubble_batch_size=self.bubble_batch_size)
+                              bubble_batch_size=self.bubble_batch_size,
+                              bubble_draw_every=self.bubble_draw_every)
             self._step_cache[key] = make_train_step(
                 self._cfg_for_fracs(fracs), self.tx, self.batch_size,
                 **kwargs)
@@ -385,10 +400,19 @@ class ReconstructionTrainer:
             if self._step_bubble is None:
                 self._step_bubble = self._build_step(
                     self._per_ray_fracs, bubble=True)
+            if self.bubble_draw_every > 1:
+                # queue_pos 0 forces a redraw on the first in-window
+                # step (also the mid-window resume path: the queue is
+                # not checkpointed, it is re-drawn from the restored pdf)
+                k = self.bubble_draw_every * self.bubble_batch_size
+                self.bubble_queue = self._rep(jnp.zeros((k,), jnp.int32))
+                self.queue_pos = self._rep(jnp.int32(0))
         elif self.bubble_activated and not want:
             self.bubble_activated = False
             self.pdf = None
             self.sample_count = None
+            self.bubble_queue = None
+            self.queue_pos = None
             print("[INFO] Bubble window closed")
 
     # -- training loop ------------------------------------------------------
@@ -423,30 +447,47 @@ class ReconstructionTrainer:
             except FileNotFoundError:
                 print("[INFO] No checkpoint found, starting fresh")
 
-        # per-step keys are folded from (base, step), not split
-        # sequentially: a resumed run replays the exact key an
-        # uninterrupted run would have used at the same step, so
-        # checkpoint/resume is bit-deterministic (the reference's
-        # Lightning resume replays its RNG stream from the start)
+        # per-step keys are folded from (base, step) INSIDE the jitted
+        # step (see train/step.py), not split sequentially: a resumed
+        # run replays the exact key an uninterrupted run would have used
+        # at the same step, so checkpoint/resume is bit-deterministic
+        # (the reference's Lightning resume replays its RNG stream from
+        # the start)
         base_key = jax.random.PRNGKey(self.conf.get("seed", 42) + 1)
         pending = []
         t0 = time.perf_counter()
         step = int(self.state.step)
+        # loss-weight dict cached per milestone signature: rebuilding 8
+        # eager device scalars per step costs more host time than the
+        # step dispatch itself (losses.py::weights_key)
+        w = self.loss_cfg.dynamic_weights(step)
+        w_key = self.loss_cfg.weights_key(step)
         while step < max_steps:
             self._maybe_toggle_bubble(step)
             if self.auto_per_ray and step % self._per_ray_check_freq == 0:
                 self._update_per_ray_phase()
-            w = self.loss_cfg.dynamic_weights(step)
-            k = jax.random.fold_in(base_key, step)
+            sig = self.loss_cfg.weights_key(step)
+            if sig != w_key:
+                w = self.loss_cfg.dynamic_weights(step)
+                w_key = sig
             prof.maybe_start(step)
             with prof.step(step):
-                if self.bubble_activated:
+                if self.bubble_activated and self.bubble_draw_every > 1:
+                    (self.state, metrics, self.pdf, self.sample_count,
+                     self.bubble_queue, self.queue_pos) = (
+                        self._step_bubble(self.state, self.device_data,
+                                          base_key, w, self.pdf,
+                                          self.sample_count,
+                                          self.bubble_queue,
+                                          self.queue_pos))
+                elif self.bubble_activated:
                     self.state, metrics, self.pdf, self.sample_count = (
-                        self._step_bubble(self.state, self.device_data, k, w,
+                        self._step_bubble(self.state, self.device_data,
+                                          base_key, w,
                                           self.pdf, self.sample_count))
                 else:
                     self.state, metrics = self._step_plain(
-                        self.state, self.device_data, k, w)
+                        self.state, self.device_data, base_key, w)
             prof.maybe_stop(step, wait_for=self.state.params)
             pending.append((step, metrics))
             step += 1
@@ -461,6 +502,8 @@ class ReconstructionTrainer:
             if step % self.checkpoint_freq == 0 or step == max_steps:
                 self.save_checkpoint(step)
         prof.close(wait_for=self.state.params)
+        self.ckpt.wait_until_finished()  # flush the async final save
+        self._io_pool.shutdown(wait=True)  # flush queued artifact writes
         print("[INFO] Training complete")
 
     def _flush_logs(self, pending, t0) -> None:
@@ -518,10 +561,12 @@ class ReconstructionTrainer:
 
             os.makedirs(f"{self.plots_dir}/rendering", exist_ok=True)
             os.makedirs(f"{self.plots_dir}/depth", exist_ok=True)
-            artifacts.write_pred_gt_grid(
+            self._io_pool.submit(
+                artifacts.write_pred_gt_grid,
                 f"{self.plots_dir}/rendering/{step}_{i}.png", pred_disp,
                 gt_disp)
-            artifacts.write_depth(
+            self._io_pool.submit(
+                artifacts.write_depth,
                 f"{self.plots_dir}/depth/{step}_{i}.png",
                 np.asarray(out["depth_values"]).reshape(H, W))
             if "normal_map" in out:
@@ -530,11 +575,13 @@ class ReconstructionTrainer:
                 n_world = np.asarray(out["normal_map"]).reshape(H, W, 3)
                 R = np.asarray(pose)[:3, :3]
                 n_cam = n_world @ R  # R^T applied from the right
-                artifacts.write_normal(
+                self._io_pool.submit(
+                    artifacts.write_normal,
                     f"{self.plots_dir}/normal/{step}_{i}.png", n_cam)
             if "light_mask" in out:
                 os.makedirs(f"{self.plots_dir}/light_mask", exist_ok=True)
-                artifacts.write_colormap(
+                self._io_pool.submit(
+                    artifacts.write_colormap,
                     f"{self.plots_dir}/light_mask/{step}_{i}.png",
                     np.asarray(out["light_mask"]).reshape(H, W))
 

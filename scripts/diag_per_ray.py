@@ -47,7 +47,15 @@ def main():
     params0 = renderer.init(jax.random.PRNGKey(0), cfg)
     state, _ = create_train_state(params0)
     ckpt = CheckpointManager(os.path.join(exp, "checkpoints", "orbax"))
-    state, _ = ckpt.restore(state)
+    try:
+        state, _ = ckpt.restore(state)
+    except ValueError:
+        # mid-bubble-window checkpoint: carries a pdf/sample_count entry
+        # whose shape we can recover from the pdf snapshot next to it
+        pdf = np.load(os.path.join(exp, "checkpoints", "pdf.npy"))
+        tmpl = {"pdf": jnp.zeros(pdf.shape, jnp.float32),
+                "sample_count": jnp.zeros(pdf.shape, jnp.int32)}
+        state, _ = ckpt.restore(state, bubble_template=tmpl)
     params = state.params
     beta0 = float(effective_beta(params["beta"], cfg.beta_min))
     print(f"checkpoint step={int(state.step)} beta0={beta0:.3e}")

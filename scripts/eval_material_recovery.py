@@ -63,9 +63,15 @@ def main() -> int:
             os.path.abspath(__file__))), "docs", "evidence"))
     os.makedirs(out_dir, exist_ok=True)
 
+    # REC_CHROMA=1 (default): per-wall hues + two-channel checker so all
+    # three albedo channels carry variance and per-channel correlation
+    # is interpretable (VERDICT r4 weak #7). 0 reproduces the legacy
+    # near-neutral scene of the round-2/3 evidence.
+    chroma = os.environ.get("REC_CHROMA", "1") == "1"
     root = tempfile.mkdtemp(prefix="i2sdf_mat_rec_")
     generate_synthetic_scene(os.path.join(root, "demo"),
-                             n_images=n_images, img_res=(H, W))
+                             n_images=n_images, img_res=(H, W),
+                             chroma=chroma)
     # fit in linear radiometric units (hdr/): LDR clipping near the
     # radiance-110 fixture otherwise biases emission/albedo low
     md = MaterialData("demo", scan_id=0, data_root=root, is_hdr=True)
@@ -93,7 +99,7 @@ def main() -> int:
         flat["rgb"].append(np.asarray(md.rgb_images[i])[sel])
     buffers = {k: jnp.asarray(np.concatenate(v), jnp.float32)
                for k, v in flat.items()}
-    alb_gt = np.asarray(scene_albedo(buffers["points"]))
+    alb_gt = np.asarray(scene_albedo(buffers["points"], chroma=chroma))
 
     mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
     tcfg = MaterialTrainConfig(batch_size=1024, spp=8, vis_steps=16,
@@ -132,6 +138,9 @@ def main() -> int:
     # scale-invariant albedo error: per-channel least-squares scale
     scale = (alb_gt * kd).sum(0) / np.maximum((kd * kd).sum(0), 1e-9)
     si_mae = float(np.abs(kd * scale[None] - alb_gt).mean())
+    si_mae_rgb = [float(np.abs(kd[:, c] * scale[c] - alb_gt[:, c]).mean())
+                  for c in range(3)]
+    gt_std_rgb = [float(alb_gt[:, c].std()) for c in range(3)]
 
     # learned-kd | GT-albedo panel for view 0
     sel, pts_full = view_masks[0]
@@ -140,7 +149,8 @@ def main() -> int:
         state.params["material"], mat_cfg,
         jnp.asarray(pts_full[sel]))["kd"]) * scale[None]
     gt_img = np.zeros((H * W, 3), np.float32)
-    gt_img[sel] = np.asarray(scene_albedo(jnp.asarray(pts_full[sel])))
+    gt_img[sel] = np.asarray(scene_albedo(jnp.asarray(pts_full[sel]),
+                                          chroma=chroma))
     panel = np.concatenate([kd_img.reshape(H, W, 3),
                             gt_img.reshape(H, W, 3)], axis=1)
     png = os.path.join(out_dir, "material_recovery_albedo.png")
@@ -151,8 +161,11 @@ def main() -> int:
         "steps": steps,
         "steps_per_sec": round(steps / dt, 2),
         "rgb_mse_last5": round(float(np.mean(losses[-5:])), 6),
+        "scene": "chroma" if chroma else "legacy (near-neutral G/B)",
         "albedo_corr_rgb": [round(c, 3) for c in corr],
         "albedo_si_mae": round(si_mae, 4),
+        "albedo_si_mae_rgb": [round(m, 4) for m in si_mae_rgb],
+        "albedo_gt_std_rgb": [round(s, 4) for s in gt_std_rgb],
         "learned_emission": np.round(np.asarray(
             emission_apply(state.params["emission"])), 3).tolist(),
         "learned_ambient": np.round(np.asarray(

@@ -308,6 +308,11 @@ def main() -> int:
     relmse_eps = float(os.environ.get("SPEC_RELMSE_EPS", "0.1"))
     relmse_pow = float(os.environ.get("SPEC_RELMSE_POW", "2.0"))
     ks_smooth_w = float(os.environ.get("SPEC_KS_SMOOTH", "0.0"))
+    # Polyak-averaged readout (SPEC_EMA=decay, e.g. 0.999): along a flat
+    # (ks, rough) valley the SGD iterate random-walks while its running
+    # average stays put — the step-count-stable estimate the stability
+    # study reads out. 0 disables.
+    ema_decay = float(os.environ.get("SPEC_EMA", "0"))
 
     def fit(buffers, centers, radii, sdf, ks_prior_weight,
             spp=None, eps=None, pow_=None, smooth=None, n_steps=None):
@@ -338,24 +343,51 @@ def main() -> int:
         params = calibrate(params, buffers, k_cal)
         state = TrainState(step=jnp.int32(0), params=params,
                            opt_state=tx.init(params))
+        ema = None
+        ema_update = None
+        if ema_decay > 0:
+            @jax.jit
+            def ema_update(e, p):
+                return jax.tree.map(
+                    lambda a, b: ema_decay * a + (1 - ema_decay) * b, e, p)
         t0 = time.time()
         losses = []
         for i in range(n_steps):
             key, k = jax.random.split(key)
             state, m = step_fn(state, buffers, k)
             losses.append(float(m["rgb_loss"]))
+            if ema_update is not None:
+                mat = state.params["material"]
+                ema = mat if ema is None else ema_update(ema, mat)
             if (i + 1) % 1000 == 0:
                 print(f"[spec fit {i + 1}/{n_steps}] rgb={losses[-1]:.5f}",
                       flush=True)
         dt = time.time() - t0
-        return state, losses, dt, n_steps
+        return state, losses, dt, n_steps, ema
 
     def metrics(state, buffers, mats_gt, losses, dt, ks_prior_weight,
-                n_steps=None):
+                n_steps=None, ema=None):
         n_steps = steps if n_steps is None else n_steps
         mat_cfg = MaterialNetConfig(dims=(256,) * 4, multires=6)
         mats = material_net_apply(state.params["material"], mat_cfg,
                                   buffers["points"])
+        ema_extra = {}
+        if ema is not None:
+            em = material_net_apply(ema, mat_cfg, buffers["points"])
+            rg = np.asarray(mats_gt["rough"])
+            sph = rg < 0.5
+            ema_extra = {
+                "ks_corr_ema": round(float(np.corrcoef(
+                    np.asarray(em["ks"]).mean(-1),
+                    np.asarray(mats_gt["ks"]).mean(-1))[0, 1]), 3),
+                "rough_corr_ema": round(float(np.corrcoef(
+                    np.asarray(em["rough"]), rg)[0, 1]), 3),
+                "ks_sphere_mean_ema": round(float(
+                    np.asarray(em["ks"])[sph].mean()), 3),
+                "rough_sphere_mean_ema": round(float(
+                    np.asarray(em["rough"])[sph].mean()), 3),
+                "ema_decay": ema_decay,
+            }
         kd = np.asarray(mats["kd"])
         ks = np.asarray(mats["ks"])
         rough = np.asarray(mats["rough"])
@@ -381,6 +413,7 @@ def main() -> int:
             "gt_ks_sphere": 0.35, "gt_ks_walls": 0.04,
             "rgb_mse_last5": round(float(np.mean(losses[-5:])), 6),
             "steps_per_sec": round(n_steps / dt, 2),
+            **ema_extra,
         }
 
     result = {
@@ -414,10 +447,20 @@ def main() -> int:
     # estimator family.
     sweep_spec = os.environ.get("SPEC_SWEEP", "")
 
+    SWEEP_KEYS = {"spp", "eps", "pow", "smooth", "prior", "steps"}
+
     def parse_sweep(spec):
         cfgs = []
         for item in spec.split(";"):
             kv = dict(tok.split("=") for tok in item.split(",") if tok)
+            unknown = set(kv) - SWEEP_KEYS
+            if unknown:
+                # a typo'd key would silently run the baseline config
+                # while recording the result under the typo'd tag —
+                # mislabeled evidence. Fail loudly instead.
+                raise SystemExit(
+                    f"SPEC_SWEEP: unknown key(s) {sorted(unknown)} in "
+                    f"{item!r}; valid keys: {sorted(SWEEP_KEYS)}")
             cfgs.append(kv)
         return cfgs
 
@@ -439,7 +482,7 @@ def main() -> int:
             for kv in parse_sweep(sweep_spec):
                 tag = ",".join(f"{k}={v}" for k, v in sorted(kv.items()))
                 print(f"[spec] {name}: sweep fit [{tag}]", flush=True)
-                state, losses, dt, nst = fit(
+                state, losses, dt, nst, ema = fit(
                     buffers, centers, radii, sdf,
                     float(kv.get("prior", prior_w)),
                     spp=int(kv["spp"]) if "spp" in kv else None,
@@ -449,15 +492,17 @@ def main() -> int:
                             if "smooth" in kv else None),
                     n_steps=int(kv.get("steps", sweep_steps)))
                 res = metrics(state, buffers, mats_gt, losses, dt,
-                              float(kv.get("prior", prior_w)), nst)
+                              float(kv.get("prior", prior_w)), nst,
+                              ema=ema)
                 print(json.dumps({tag: res}), flush=True)
                 sweep_out[tag] = res
         print(f"[spec] {name}: fit (prior {prior_w}, spp {fit_spp}, "
               f"relmse_eps {relmse_eps}, relmse_pow {relmse_pow})",
               flush=True)
-        state, losses, dt, nst = fit(buffers, centers, radii, sdf,
-                                     prior_w)
-        res = metrics(state, buffers, mats_gt, losses, dt, prior_w, nst)
+        state, losses, dt, nst, ema = fit(buffers, centers, radii, sdf,
+                                          prior_w)
+        res = metrics(state, buffers, mats_gt, losses, dt, prior_w, nst,
+                      ema=ema)
         res["fit_spp"] = fit_spp
         res["relative_mse_eps"] = relmse_eps
         res["relative_mse_pow"] = relmse_pow
