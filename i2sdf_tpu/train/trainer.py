@@ -262,10 +262,13 @@ class ReconstructionTrainer:
             os.path.join(exp_dir, "checkpoints", "orbax"))
         # validation artifacts (PNG/EXR/HTML encodes) are pure host IO —
         # write them on a worker thread so the device goes straight back
-        # to training after each val render
+        # to training after each val render. The pool stays alive for
+        # the trainer's lifetime (fit() may be called more than once);
+        # _io_drain() waits out pending writes at fit boundaries.
         from concurrent.futures import ThreadPoolExecutor
 
         self._io_pool = ThreadPoolExecutor(max_workers=2)
+        self._io_futures = []
 
         with open(os.path.join(exp_dir, "config.yml"), "w") as f:
             f.write(conf.dump())
@@ -279,6 +282,19 @@ class ReconstructionTrainer:
                 os.makedirs(os.path.join(self.plots_dir, "bubble"),
                             exist_ok=True)
         print(f"[INFO] Finish loading data. Data-set size: {n_images}")
+
+    def _io_submit(self, fn, *args, **kwargs):
+        f = self._io_pool.submit(fn, *args, **kwargs)
+        self._io_futures.append(f)
+        return f
+
+    def _io_drain(self) -> None:
+        for f in self._io_futures:
+            try:
+                f.result()
+            except Exception as exc:  # an artifact write must not kill
+                print(f"[WARN] artifact write failed: {exc!r}")  # the run
+        self._io_futures.clear()
 
     def _rep(self, tree):
         """Replicate device state across the mesh (no-op single-chip)."""
@@ -297,22 +313,34 @@ class ReconstructionTrainer:
         n_points = len(ds.pointcloud)
         pdf = jnp.zeros((n_points,), jnp.float32)
         data = self.device_data
+        use_rgb = self.pdf_criterion == "RGB"
+        pdf_max, pdf_prune = ds.pdf_max, ds.pdf_prune
+
+        @jax.jit
+        def scatter_err(pdf, pred, gt, links):
+            # one program per image instead of ~10 eager dispatches
+            if use_rgb:
+                err = jnp.mean(jnp.abs(jnp.clip(pred, 0, 1)
+                                       - jnp.clip(gt, 0, 1)), axis=-1)
+            else:
+                err = jnp.abs(pred - gt)
+            if pdf_max is not None:
+                err = jnp.clip(err, max=pdf_max)
+            err = jnp.where(err < pdf_prune, 0.0, err)
+            return pdf.at[links].set(err, mode="drop")
+
         for i in range(ds.n_images):
             out = self.render_image(
                 self.state.params, data.uv, data.intrinsics[i], data.pose[i],
                 predict_only=True)
-            if self.pdf_criterion == "RGB":
-                err = jnp.mean(jnp.abs(
-                    jnp.clip(out["rgb_values"], 0, 1)
-                    - jnp.clip(data.rgb[i], 0, 1)), axis=-1)
-            else:
-                err = jnp.abs(out["depth_values"] - data.depth[i])
-            if ds.pdf_max is not None:
-                err = jnp.clip(err, max=ds.pdf_max)
-            err = jnp.where(err < ds.pdf_prune, 0.0, err)
             links = data.pointlinks[i * ds.total_pixels:(i + 1)
                                     * ds.total_pixels]
-            pdf = pdf.at[links].set(err, mode="drop")
+            if use_rgb:
+                pdf = scatter_err(pdf, out["rgb_values"], data.rgb[i],
+                                  links)
+            else:
+                pdf = scatter_err(pdf, out["depth_values"], data.depth[i],
+                                  links)
         self.pdf = self._rep(pdf)
         self.sample_count = self._rep(jnp.zeros((n_points,), jnp.int32))
         np.save(os.path.join(self.exp_dir, "checkpoints", "pdf.npy"),
@@ -327,7 +355,7 @@ class ReconstructionTrainer:
         trace_dir = os.path.join(self.plots_dir, "bubble")
         pdf_np = np.asarray(self.pdf)  # device pull stays synchronous
         submit = ((lambda fn, *a, **kw: fn(*a, **kw)) if sync
-                  else self._io_pool.submit)
+                  else self._io_submit)
         submit(artifacts.write_hotmaps,
                os.path.join(self.exp_dir, "hotmap"), pdf_np,
                ds.pixlinks, ds.n_images, ds.img_res, step=step,
@@ -503,14 +531,18 @@ class ReconstructionTrainer:
                 self.save_checkpoint(step)
         prof.close(wait_for=self.state.params)
         self.ckpt.wait_until_finished()  # flush the async final save
-        self._io_pool.shutdown(wait=True)  # flush queued artifact writes
+        self._io_drain()  # flush queued artifact writes
         print("[INFO] Training complete")
 
     def _flush_logs(self, pending, t0) -> None:
         if not pending:
             return
         step, metrics = pending[-1]
-        vals = {k: float(v) for k, v in metrics.items()}
+        # one stacked transfer instead of ~15 scalar fetches — each
+        # fetch pays a full tunnel round-trip (~33 ms) on this stack
+        names = list(metrics)
+        stacked = np.asarray(jnp.stack([metrics[k] for k in names]))
+        vals = dict(zip(names, stacked.tolist()))
         sps = len(pending) / max(time.perf_counter() - t0, 1e-9)
         # scan id + ETA in the progress line (the reference's
         # RichProgressBarWithScanId column, utils/__init__.py:12-18)
@@ -561,11 +593,11 @@ class ReconstructionTrainer:
 
             os.makedirs(f"{self.plots_dir}/rendering", exist_ok=True)
             os.makedirs(f"{self.plots_dir}/depth", exist_ok=True)
-            self._io_pool.submit(
+            self._io_submit(
                 artifacts.write_pred_gt_grid,
                 f"{self.plots_dir}/rendering/{step}_{i}.png", pred_disp,
                 gt_disp)
-            self._io_pool.submit(
+            self._io_submit(
                 artifacts.write_depth,
                 f"{self.plots_dir}/depth/{step}_{i}.png",
                 np.asarray(out["depth_values"]).reshape(H, W))
@@ -575,12 +607,12 @@ class ReconstructionTrainer:
                 n_world = np.asarray(out["normal_map"]).reshape(H, W, 3)
                 R = np.asarray(pose)[:3, :3]
                 n_cam = n_world @ R  # R^T applied from the right
-                self._io_pool.submit(
+                self._io_submit(
                     artifacts.write_normal,
                     f"{self.plots_dir}/normal/{step}_{i}.png", n_cam)
             if "light_mask" in out:
                 os.makedirs(f"{self.plots_dir}/light_mask", exist_ok=True)
-                self._io_pool.submit(
+                self._io_submit(
                     artifacts.write_colormap,
                     f"{self.plots_dir}/light_mask/{step}_{i}.png",
                     np.asarray(out["light_mask"]).reshape(H, W))

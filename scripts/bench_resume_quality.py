@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=None,
                     help="override train.batch_size (CPU smoke tests)")
+    ap.add_argument("--beta", type=float, default=None,
+                    help="override the learned beta leaf before "
+                         "measuring (mid-schedule regimes where the "
+                         "error-bound-gated per-ray ladder is active)")
     args = ap.parse_args()
 
     from i2sdf_tpu.utils.jax_cache import set_compilation_cache
@@ -59,6 +63,10 @@ def main():
     ckpt = CheckpointManager(os.path.join(exp, "checkpoints", "orbax"))
     state0, _ = ckpt.restore(state0)
     ckpt.close()
+    if args.beta is not None:
+        state0 = state0._replace(params={
+            **state0.params,
+            "beta": jnp.asarray(args.beta, jnp.float32)})
     beta = float(effective_beta(state0.params["beta"], cfg.beta_min))
     step_at = int(state0.step)
     print(f"# resumed step {step_at}, beta {beta:.3e}", file=sys.stderr)

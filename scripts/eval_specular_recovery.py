@@ -46,13 +46,23 @@ toward 0.04. At 96x128 (highlight resolved) the CLASSICAL relative-L2
 (pow 2) already reaches ks_corr 0.795 with every field near GT, and
 cutting the prior to 0.0003 frees the amplitude: ks_corr 0.973 with
 ks_sphere 0.387 vs GT 0.35 (11%), rough 0.194/0.789 vs GT 0.15/0.7.
-Those are the shipped defaults below. 6000-step fits drift back up the
-ridge at prior 0.001 (rough_sphere 0.04 by step 6000); 3000 is the
-evidence protocol.
+Those are the shipped defaults below.
+
+Step-count stability (round 5, VERDICT r4 task 4): the round-4 note
+"6000-step fits at prior 1e-3 drift back up the ridge" was measured at
+the WRONG prior (1e-3, not the shipped 3e-4) and never at 12000 steps
+(ADVICE r4 #4). The stability protocol runs the SHIPPED estimator
+(pow 2, prior 3e-4, 96x128) at 3000 (default final fit) + 6000 + 12000
+steps on BOTH captures via SPEC_SWEEP="steps=6000;steps=12000", with a
+Polyak-averaged readout (SPEC_EMA=0.999) reported alongside the raw
+iterate — along a flat (ks, rough) valley the SGD iterate random-walks
+while its running average stays put, which is the step-count-stable
+estimate. Results in docs/evidence/specular_recovery.json
+(estimator_sweep arms per capture).
 
 Env knobs: SPEC_STEPS (default 3000), SPEC_RES ("96x128"),
 SPEC_GT_SPP (128), SPEC_CAPTURE ("r4"|"r3"|"both"), SPEC_PRIOR
-(0.0003), SPEC_OUT, SPEC_SWEEP (see parse_sweep).
+(0.0003), SPEC_OUT, SPEC_SWEEP (see parse_sweep), SPEC_EMA.
 """
 
 from __future__ import annotations

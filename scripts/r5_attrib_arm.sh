@@ -54,13 +54,18 @@ esac
 EXP=exps/quality_1/version_${V}
 LOG=/tmp/r5_attrib_${ARM}.log
 
-echo "[attrib:$ARM] train 50k ($CFG seed=$SEED -> $EXP)"
 T0=$(date +%s)
-timeout 9000 python -m i2sdf_tpu.main --conf "$CFG" --scan_id 1 \
-  --version "$V" --seed "$SEED" >"$LOG" 2>&1
-RC_TRAIN=$?
+if [ -n "${EVAL_ONLY:-}" ] && [ -d "$EXP/checkpoints/orbax/50000" ]; then
+  echo "[attrib:$ARM] 50k checkpoint present; skipping train (EVAL_ONLY)"
+  RC_TRAIN=0
+else
+  echo "[attrib:$ARM] train 50k ($CFG seed=$SEED -> $EXP)"
+  timeout 9000 python -m i2sdf_tpu.main --conf "$CFG" --scan_id 1 \
+    --version "$V" --seed "$SEED" >"$LOG" 2>&1
+  RC_TRAIN=$?
+  tail -2 "$LOG"
+fi
 T1=$(date +%s)
-tail -2 "$LOG"
 
 echo "[attrib:$ARM] NVS render eval"
 timeout 5400 python -m i2sdf_tpu.main --conf "$CFG" --scan_id 1 \
@@ -87,6 +92,17 @@ out = {
     "wall_secs": {"train": $T1-$T0, "render": $T2-$T1, "mesh": $T3-$T2},
     "train_rays_per_sec_whole_run": round(50000*1600/max($T1-$T0,1), 1),
 }
+path = os.path.join("$OUTDIR", arm + ".json")
+if $T1-$T0 < 60 and os.path.exists(path):
+    # EVAL_ONLY rerun: keep the original training-phase timing
+    try:
+        prev = json.load(open(path))
+        out["wall_secs"]["train"] = prev["wall_secs"]["train"]
+        out["rc"]["train"] = prev["rc"]["train"]
+        out["train_rays_per_sec_whole_run"] = prev[
+            "train_rays_per_sec_whole_run"]
+    except Exception:
+        pass
 nvs = sorted((p for p in glob.glob(os.path.join(exp, "eval", "**",
               "metrics.txt"), recursive=True) if "mesh" not in p),
              key=os.path.getmtime)
@@ -109,7 +125,6 @@ if mesh:
             except ValueError:
                 pass
     out["mesh_metrics_m"] = mm
-path = os.path.join("$OUTDIR", arm + ".json")
 json.dump(out, open(path, "w"), indent=1)
 print(json.dumps(out, indent=1))
 EOF

@@ -52,6 +52,30 @@ def trainer(tmp_path_factory):
                                  data_root=str(root / "data"))
 
 
+def test_trainer_amortized_bubble_fit(tmp_path):
+    """End-to-end trainer loop with train.bubble_draw_every > 1: the
+    bubble window opens, the queue initializes, steps run through the
+    6-leaf bubble step, and the window closes cleanly."""
+    import copy
+
+    conf = copy.deepcopy(CONF)
+    conf["train"]["steps"] = 24
+    conf["train"]["bubble_draw_every"] = 4
+    conf["loss"].update(bubble_weight=0.5, min_bubble_iter=4,
+                        max_bubble_iter=20)
+    generate_synthetic_scene(str(tmp_path / "data" / "demo"), n_images=2,
+                             img_res=(16, 20))
+    conf_path = str(tmp_path / "conf.yml")
+    yaml.safe_dump(conf, open(conf_path, "w"))
+    tr = ReconstructionTrainer(load_cfg(conf_path),
+                               exp_dir=str(tmp_path / "exp"),
+                               data_root=str(tmp_path / "data"))
+    tr.fit(max_steps=24)
+    assert int(tr.state.step) == 24
+    assert not tr.bubble_activated  # window closed at 20
+    assert tr.bubble_queue is None and tr.queue_pos is None
+
+
 def test_base_cfg_keeps_per_ray_off(trainer):
     # the trainer owns phase selection: the base model cfg must not
     # bake compaction in
@@ -75,9 +99,17 @@ def test_phase_swaps_follow_beta(trainer):
     assert trainer._per_ray_fracs == PER_RAY_PHASES[2][1]
     assert trainer._step_plain is not step_large_beta
 
-    _set_beta(trainer, 5e-4)
+    _set_beta(trainer, 3e-3)
     trainer._update_per_ray_phase()
     assert trainer._per_ray_fracs == PER_RAY_PHASES[3][1]
+
+    # dominant small-beta regime: nothing to compact (round-5 measured
+    # ladder) — falls back to the plain global-exit step, which is the
+    # SAME cached jitted fn as the large-beta phase
+    _set_beta(trainer, 5e-4)
+    trainer._update_per_ray_phase()
+    assert trainer._per_ray_fracs is None
+    assert trainer._step_plain is step_large_beta
 
     # returning to a previous phase reuses the cached jitted step
     _set_beta(trainer, 0.1)
