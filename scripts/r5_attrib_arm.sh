@@ -68,14 +68,14 @@ fi
 T1=$(date +%s)
 
 echo "[attrib:$ARM] NVS render eval"
-timeout 5400 python -m i2sdf_tpu.main --conf "$CFG" --scan_id 1 \
+timeout 2400 python -m i2sdf_tpu.main --conf "$CFG" --scan_id 1 \
   --version "$V" --seed "$SEED" --test --test_mode render \
   >>"$LOG" 2>&1
 RC_RENDER=$?
 T2=$(date +%s)
 
 echo "[attrib:$ARM] mesh 512^3 + --score"
-timeout 5400 python -m i2sdf_tpu.main --conf "$CFG" --scan_id 1 \
+timeout 3600 python -m i2sdf_tpu.main --conf "$CFG" --scan_id 1 \
   --version "$V" --seed "$SEED" --test --test_mode mesh \
   --resolution 512 --score >>"$LOG" 2>&1
 RC_MESH=$?

@@ -67,5 +67,6 @@ run "perray-ab-0.01" timeout 3600 python scripts/bench_resume_quality.py \
   --exp /tmp/r5_attrib/exps/quality_1/version_0 --beta 0.01 --steps 120
 run "perray-ab-0.003" timeout 3600 python scripts/bench_resume_quality.py \
   --exp /tmp/r5_attrib/exps/quality_1/version_0 --beta 0.003 --steps 120
+run "repair-evals" bash scripts/r5_repair_evals.sh
 python scripts/r5_attrib_summary.py >>"$LOG" 2>&1 || true
 echo "[queue] $(date +%T) MASTER QUEUE DONE" | tee -a "$LOG"
