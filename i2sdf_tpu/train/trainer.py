@@ -418,8 +418,11 @@ class ReconstructionTrainer:
             elif not self.uniform_bubble:
                 print(f"[INFO] Initializing pointcloud PDF "
                       f"({self.pdf_criterion})")
+                t0 = time.perf_counter()
                 with profiling.annotate("bubble_pdf_init"):
                     self.initialize_bubble_pdf()
+                print(f"[INFO] pdf init took "
+                      f"{time.perf_counter() - t0:.1f}s")
             else:
                 n = len(self.train_data.pointcloud)
                 print("[INFO] Ablation: uniform bubble sampling")
@@ -568,6 +571,7 @@ class ReconstructionTrainer:
     # -- validation ---------------------------------------------------------
 
     def validate(self, step: int) -> dict:
+        t_val0 = time.perf_counter()
         pd = self.plot_data
         pd.shuffle_plot_index()
         H, W = pd.img_res
@@ -653,7 +657,8 @@ class ReconstructionTrainer:
             for k, v in result.items():
                 self.tb.add_scalar(f"val/{k}", v, step)
         print(f"[val @{step}] " + " ".join(
-            f"{k}={v:.4g}" for k, v in result.items()))
+            f"{k}={v:.4g}" for k, v in result.items())
+            + f" ({time.perf_counter() - t_val0:.1f}s)")
         return result
 
     def save_checkpoint(self, step: int) -> None:
